@@ -1,0 +1,24 @@
+"""rl6nimmt_tpu: a TPU-native 6 nimmt! reinforcement-learning framework.
+
+A from-scratch JAX/XLA rebuild of the capabilities of the reference
+``coolo/rl-6-nimmt`` repo: a pure-functional batched game engine, seven agent
+families (random, human CLI, REINFORCE, ACER, the DQN lattice up to
+noisy-D3QN-PER-n-step, Monte-Carlo search, and Alpha0.5-style PUCT), replay
+buffers, a vectorized self-play runtime, and a population tournament with
+multi-player ELO and evolutionary clone-and-cull.
+
+Top-level exports mirror the reference package root
+(/root/reference/rl_6_nimmt/__init__.py).
+"""
+
+from .engine import EnvConfig, EnvState, InvalidMoveException, SechsNimmtEnv
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EnvConfig",
+    "EnvState",
+    "InvalidMoveException",
+    "SechsNimmtEnv",
+    "__version__",
+]
