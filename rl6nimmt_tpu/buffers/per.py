@@ -1,0 +1,130 @@
+"""Prioritized experience replay (Schaul et al. 2016), TPU-native.
+
+Rebuilds the reference PER stack -- numba sum-tree + ``PriorityReplayBuffer``
+(/root/reference/rl_6_nimmt/utils/replay_buffer.py:15-203) -- as pure JAX on a
+dense priority array:
+
+* storage is a :class:`RingState`-style pytree plus ``priorities: f32[cap]``;
+* sampling uses the reference's *stratified* scheme -- one uniform draw per
+  equal-mass segment ``u_i = (i + U[0,1)) * total / n`` -- but resolves each
+  draw with a vectorized ``searchsorted`` over the priority prefix-sum, which
+  selects exactly the same leaf as the reference's root-to-leaf sum-tree
+  descent (replay_buffer.py:42-60);
+* importance weights are ``(p / min_p) ** (-beta)`` with beta annealed by
+  +0.001 per sample call toward 1.0 (replay_buffer.py:145-166), and priority
+  updates apply ``(min(|err| + eps, 1)) ** alpha`` with eps=0.01, alpha=0.6
+  (replay_buffer.py:188-200).
+
+An O(cap) cumsum per sample replaces the O(log cap) tree descent; at the
+reference's capacities (<= 1e5) a single vectorized cumsum per update is far
+faster on TPU than a pointer-chasing tree, and it vmaps cleanly across agent
+populations.  Known deviation: the reference's ``num_items`` saturates at
+``capacity - 1`` due to an off-by-one in ``SumTree.add`` (replay_buffer.py:
+99-104); this implementation uses the true element count.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PERState(NamedTuple):
+    storage: Any              # pytree, leaves [capacity, ...]
+    priorities: jnp.ndarray   # f32[capacity], 0 for empty slots
+    ptr: jnp.ndarray          # int32
+    size: jnp.ndarray         # int32
+    beta: jnp.ndarray         # f32, annealed 0.4 -> 1.0
+
+
+ABS_ERROR_UPPER = 1.0
+EPSILON = 0.01
+ALPHA = 0.6
+BETA0 = 0.4
+BETA_INCREMENT = 0.001
+
+
+def per_init(capacity: int, example: Any) -> PERState:
+    storage = jax.tree.map(
+        lambda x: jnp.zeros((capacity,) + jnp.shape(x), jnp.asarray(x).dtype), example
+    )
+    return PERState(
+        storage=storage,
+        priorities=jnp.zeros((capacity,), jnp.float32),
+        ptr=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+        beta=jnp.asarray(BETA0, jnp.float32),
+    )
+
+
+def per_capacity(state: PERState) -> int:
+    return state.priorities.shape[0]
+
+
+def per_add(state: PERState, item: Any) -> PERState:
+    """Insert with max-priority (new experiences get sampled at least once)."""
+    max_p = jnp.max(state.priorities)
+    priority = jnp.where(max_p == 0.0, ABS_ERROR_UPPER, max_p)
+    cap = per_capacity(state)
+    storage = jax.tree.map(lambda buf, x: buf.at[state.ptr].set(x), state.storage, item)
+    return PERState(
+        storage=storage,
+        priorities=state.priorities.at[state.ptr].set(priority),
+        ptr=(state.ptr + 1) % cap,
+        size=jnp.minimum(state.size + 1, cap),
+        beta=state.beta,
+    )
+
+
+def per_add_batch(state: PERState, items: Any) -> PERState:
+    """Batch insert, all at the current max priority."""
+    n = jax.tree.leaves(items)[0].shape[0]
+    cap = per_capacity(state)
+    max_p = jnp.max(state.priorities)
+    priority = jnp.where(max_p == 0.0, ABS_ERROR_UPPER, max_p)
+    idx = (state.ptr + jnp.arange(n)) % cap
+    storage = jax.tree.map(lambda buf, x: buf.at[idx].set(x), state.storage, items)
+    return PERState(
+        storage=storage,
+        priorities=state.priorities.at[idx].set(priority),
+        ptr=(state.ptr + n) % cap,
+        size=jnp.minimum(state.size + n, cap),
+        beta=state.beta,
+    )
+
+
+def per_sample(
+    state: PERState, key: jax.Array, n: int
+) -> Tuple[PERState, jnp.ndarray, jnp.ndarray, Any]:
+    """Stratified priority sample.
+
+    Returns ``(state', indices, importance_weights, batch)``; the returned
+    state only differs in the annealed beta.
+    """
+    pri = state.priorities
+    total = jnp.sum(pri)
+    beta = jnp.minimum(1.0, state.beta + BETA_INCREMENT)
+
+    segment = total / n
+    u = (jnp.arange(n, dtype=jnp.float32) + jax.random.uniform(key, (n,))) * segment
+    cumsum = jnp.cumsum(pri)
+    idx = jnp.clip(
+        jnp.searchsorted(cumsum, u, side="left"), 0, jnp.maximum(state.size - 1, 0)
+    ).astype(jnp.int32)
+
+    probs = pri[idx] / total
+    valid = jnp.arange(per_capacity(state)) < state.size
+    min_prob = jnp.min(jnp.where(valid, pri, jnp.inf)) / total
+    weights = jnp.power(probs / min_prob, -beta)
+
+    batch = jax.tree.map(lambda buf: buf[idx], state.storage)
+    return state._replace(beta=beta), idx, weights, batch
+
+
+def per_update(state: PERState, idx: jnp.ndarray, abs_errors: jnp.ndarray) -> PERState:
+    """Write back clipped TD-error priorities for sampled indices."""
+    clipped = jnp.minimum(jnp.abs(abs_errors) + EPSILON, ABS_ERROR_UPPER)
+    new_p = jnp.power(clipped, ALPHA)
+    return state._replace(priorities=state.priorities.at[idx].set(new_p))

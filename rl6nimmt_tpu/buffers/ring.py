@@ -1,0 +1,75 @@
+"""Fixed-capacity device-resident ring replay buffer.
+
+Replaces the reference's object-array ``History``
+(/root/reference/rl_6_nimmt/utils/replay_buffer.py:206-271).  Instead of a
+NumPy array of Python dicts, the buffer is a pytree of preallocated arrays
+with a leading capacity axis plus a write pointer -- every operation (store,
+uniform sample, rollout) is a pure jit-able function on that state, so replay
+lives in HBM and never crosses the host boundary during training.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RingState(NamedTuple):
+    """storage: pytree with leaves ``[capacity, ...]``; ptr/size: int32 scalars."""
+
+    storage: Any
+    ptr: jnp.ndarray
+    size: jnp.ndarray
+
+
+def ring_init(capacity: int, example: Any) -> RingState:
+    """Allocate a buffer shaped after one example transition (pytree)."""
+    storage = jax.tree.map(
+        lambda x: jnp.zeros((capacity,) + jnp.shape(x), jnp.asarray(x).dtype), example
+    )
+    return RingState(storage, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+
+def ring_capacity(state: RingState) -> int:
+    return jax.tree.leaves(state.storage)[0].shape[0]
+
+
+def ring_add(state: RingState, item: Any) -> RingState:
+    """Store one transition at the write pointer (wrapping overwrite)."""
+    cap = ring_capacity(state)
+    storage = jax.tree.map(lambda buf, x: buf.at[state.ptr].set(x), state.storage, item)
+    return RingState(
+        storage,
+        (state.ptr + 1) % cap,
+        jnp.minimum(state.size + 1, cap),
+    )
+
+
+def ring_add_batch(state: RingState, items: Any) -> RingState:
+    """Store a leading-axis batch of transitions (wrapping scatter)."""
+    n = jax.tree.leaves(items)[0].shape[0]
+    cap = ring_capacity(state)
+    idx = (state.ptr + jnp.arange(n)) % cap
+    storage = jax.tree.map(lambda buf, x: buf.at[idx].set(x), state.storage, items)
+    return RingState(
+        storage,
+        (state.ptr + n) % cap,
+        jnp.minimum(state.size + n, cap),
+    )
+
+
+def ring_sample(state: RingState, key: jax.Array, n: int) -> Tuple[jnp.ndarray, Any]:
+    """Uniform sample of ``n`` stored transitions (with replacement).
+
+    The reference samples without replacement (replay_buffer.py:233-238); with
+    a warm buffer (size >> n) the distributions are indistinguishable, and
+    with-replacement keeps the op a single gather.
+    """
+    idx = jax.random.randint(key, (n,), 0, jnp.maximum(state.size, 1))
+    return idx, jax.tree.map(lambda buf: buf[idx], state.storage)
+
+
+def ring_clear(state: RingState) -> RingState:
+    return RingState(state.storage, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))

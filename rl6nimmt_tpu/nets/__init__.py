@@ -1,0 +1,23 @@
+from .mlp import (
+    MLPSpec,
+    dueling_apply,
+    linear_apply,
+    linear_init,
+    mlp_apply,
+    mlp_init,
+    noisy_linear_apply,
+    noisy_linear_init,
+)
+from .normalize import normalize_state
+
+__all__ = [
+    "MLPSpec",
+    "dueling_apply",
+    "linear_apply",
+    "linear_init",
+    "mlp_apply",
+    "mlp_init",
+    "noisy_linear_apply",
+    "noisy_linear_init",
+    "normalize_state",
+]

@@ -1,0 +1,137 @@
+"""Buffer tests: ring semantics, PER sampling distribution, sequence masking.
+
+The PER distribution test mirrors the intent of the reference's (broken)
+tests/test_pbr.py: fill past capacity, sample + batch_update repeatedly, and
+check importance weights stay positive and sampling tracks priorities.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rl6nimmt_tpu.buffers import (
+    per_add,
+    per_init,
+    per_sample,
+    per_update,
+    ring_add,
+    ring_add_batch,
+    ring_init,
+    ring_sample,
+    seq_flush,
+    seq_init,
+    seq_latest,
+    seq_sample,
+    seq_store,
+)
+
+
+def example_item():
+    return {"state": jnp.zeros(47), "action": jnp.zeros((), jnp.int32), "reward": jnp.zeros(())}
+
+
+def test_ring_wraparound():
+    state = ring_init(4, example_item())
+    add = jax.jit(ring_add)
+    for i in range(6):
+        item = {
+            "state": jnp.full(47, float(i)),
+            "action": jnp.asarray(i, jnp.int32),
+            "reward": jnp.asarray(float(i)),
+        }
+        state = add(state, item)
+    assert int(state.size) == 4
+    assert int(state.ptr) == 2
+    # Slots 0,1 were overwritten by items 4,5.
+    np.testing.assert_array_equal(
+        np.asarray(state.storage["action"]), np.asarray([4, 5, 2, 3], np.int32)
+    )
+
+
+def test_ring_add_batch_and_sample():
+    state = ring_init(8, example_item())
+    items = {
+        "state": jnp.tile(jnp.arange(6, dtype=jnp.float32)[:, None], (1, 47)),
+        "action": jnp.arange(6, dtype=jnp.int32),
+        "reward": jnp.arange(6, dtype=jnp.float32),
+    }
+    state = ring_add_batch(state, items)
+    assert int(state.size) == 6
+    idx, batch = ring_sample(state, jax.random.key(0), 32)
+    assert batch["action"].shape == (32,)
+    assert np.asarray(idx).max() < 6
+
+
+def test_per_fill_sample_update_cycle():
+    """Reference test_pbr scenario: overfill, then many sample/update rounds."""
+    state = per_init(100, {"x": jnp.zeros(())})
+    add = jax.jit(per_add)
+    for i in range(110):
+        state = add(state, {"x": jnp.asarray(float(i))})
+    assert int(state.size) == 100
+
+    sample = jax.jit(per_sample, static_argnums=2)
+    update = jax.jit(per_update)
+    key = jax.random.key(0)
+    for it in range(50):
+        key, sub = jax.random.split(key)
+        state, idx, weights, batch = sample(state, sub, 10)
+        w = np.asarray(weights)
+        assert (w > 0).all() and np.isfinite(w).all()
+        assert w.max() <= 1.0 + 1e-5  # max-priority item has weight 1
+        errors = jnp.abs(batch["x"]) / 200.0
+        state = update(state, idx, errors)
+    assert float(state.beta) > 0.4
+
+
+def test_per_sampling_tracks_priorities():
+    """High-priority items must be sampled proportionally more often."""
+    state = per_init(16, {"x": jnp.zeros(())})
+    for i in range(16):
+        state = per_add(state, {"x": jnp.asarray(float(i))})
+    # Give slot 3 ten times the priority of everyone else.
+    pri = np.full(16, 0.1, np.float32)
+    pri[3] = 8.0
+    state = state._replace(priorities=jnp.asarray(pri))
+
+    counts = np.zeros(16)
+    key = jax.random.key(1)
+    for _ in range(200):
+        key, sub = jax.random.split(key)
+        _, idx, _, _ = per_sample(state, sub, 8)
+        for i in np.asarray(idx):
+            counts[i] += 1
+    frac = counts[3] / counts.sum()
+    expect = 8.0 / (8.0 + 1.5)
+    assert abs(frac - expect) < 0.05
+
+
+def test_per_update_priority_formula():
+    state = per_init(8, {"x": jnp.zeros(())})
+    for i in range(8):
+        state = per_add(state, {"x": jnp.asarray(float(i))})
+    state = per_update(state, jnp.asarray([0, 1]), jnp.asarray([0.5, 10.0]))
+    p = np.asarray(state.priorities)
+    np.testing.assert_allclose(p[0], (0.5 + 0.01) ** 0.6, rtol=1e-5)
+    np.testing.assert_allclose(p[1], 1.0, rtol=1e-5)  # clipped at 1
+
+
+def test_sequence_buffer_flush_and_first_flags():
+    ex = {"r": jnp.zeros(()), "a": jnp.zeros((), jnp.int32)}
+    state = seq_init(4, 10, ex)
+    for t in range(3):
+        state = seq_store(state, {"r": jnp.asarray(float(t)), "a": jnp.asarray(t, jnp.int32)})
+    assert int(state.cur_len) == 3
+    state = seq_flush(state)
+    assert int(state.cur_len) == 0 and int(state.size) == 1
+
+    seq, length = seq_latest(state)
+    assert int(length) == 3
+    np.testing.assert_array_equal(np.asarray(seq["r"])[:3], [0.0, 1.0, 2.0])
+
+    for t in range(2):
+        state = seq_store(state, {"r": jnp.asarray(9.0), "a": jnp.asarray(9, jnp.int32)})
+    state = seq_flush(state)
+    idx, batch, lengths = seq_sample(state, jax.random.key(0), 5)
+    assert batch["r"].shape == (5, 10)
+    assert set(np.asarray(lengths)) <= {2, 3}

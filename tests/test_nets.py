@@ -1,0 +1,124 @@
+"""Tests for the functional nets: math parity with torch, noisy-layer stats."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rl6nimmt_tpu.nets import (
+    MLPSpec,
+    dueling_apply,
+    mlp_apply,
+    mlp_init,
+    noisy_linear_apply,
+    noisy_linear_init,
+    normalize_state,
+)
+
+
+def test_mlp_shapes_and_heads():
+    spec = MLPSpec(input_size=47, hidden_sizes=(64, 32), head_sizes=(104, 1))
+    params = mlp_init(jax.random.key(0), spec)
+    x = jnp.ones((5, 47))
+    q, v = mlp_apply(spec, params, x)
+    assert q.shape == (5, 104) and v.shape == (5, 1)
+
+
+def test_mlp_matches_torch_linear_stack():
+    """Same weights -> same outputs as a torch MLP (cross-framework check)."""
+    torch = pytest.importorskip("torch")
+    spec = MLPSpec(input_size=10, hidden_sizes=(16, 8), head_sizes=(3, 1))
+    params = mlp_init(jax.random.key(1), spec)
+    x = np.random.RandomState(0).randn(4, 10).astype(np.float32)
+
+    h = torch.tensor(x)
+    for layer in params["trunk"]:
+        lin = torch.nn.Linear(*layer["w"].shape)
+        with torch.no_grad():
+            lin.weight.copy_(torch.tensor(np.asarray(layer["w"]).T))
+            lin.bias.copy_(torch.tensor(np.asarray(layer["b"])))
+        h = torch.relu(lin(h))
+    t_outs = []
+    for layer in params["heads"]:
+        lin = torch.nn.Linear(*layer["w"].shape)
+        with torch.no_grad():
+            lin.weight.copy_(torch.tensor(np.asarray(layer["w"]).T))
+            lin.bias.copy_(torch.tensor(np.asarray(layer["b"])))
+        t_outs.append(lin(h).detach().numpy())
+
+    j_outs = mlp_apply(spec, params, jnp.asarray(x))
+    for t, j in zip(t_outs, j_outs):
+        np.testing.assert_allclose(t, np.asarray(j), rtol=1e-5, atol=1e-5)
+
+
+def test_dueling_aggregation():
+    """Q = V + (A - mean(A)): mean over actions of Q equals V."""
+    spec = MLPSpec(input_size=47, hidden_sizes=(32,), head_sizes=(1, 104))
+    params = mlp_init(jax.random.key(2), spec)
+    x = jax.random.normal(jax.random.key(3), (6, 47))
+    q = dueling_apply(spec, params, x)
+    v, a = mlp_apply(spec, params, x)
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(q, axis=-1)), np.asarray(v[:, 0]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_noisy_linear_zero_sigma_is_linear():
+    params = noisy_linear_init(jax.random.key(4), 8, 5, sigma_init=0.5)
+    params["sigma_w"] = jnp.zeros_like(params["sigma_w"])
+    params["sigma_b"] = jnp.zeros_like(params["sigma_b"])
+    x = jax.random.normal(jax.random.key(5), (3, 8))
+    noisy = noisy_linear_apply(params, x, jax.random.key(6))
+    silent = noisy_linear_apply(params, x, None)
+    np.testing.assert_allclose(np.asarray(noisy), np.asarray(silent), rtol=1e-6)
+
+
+def test_noisy_linear_noise_statistics():
+    """Factorized noise: mean ~ deterministic output, nonzero variance."""
+    params = noisy_linear_init(jax.random.key(7), 8, 5, sigma_init=0.5)
+    x = jnp.ones((1, 8))
+    outs = jnp.stack(
+        [noisy_linear_apply(params, x, jax.random.key(i))[0] for i in range(300)]
+    )
+    mean = jnp.mean(outs, axis=0)
+    silent = noisy_linear_apply(params, x, None)[0]
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(silent), atol=0.15)
+    assert float(jnp.std(outs)) > 0.01
+
+
+def test_noisy_mlp_forward_changes_with_key():
+    spec = MLPSpec(input_size=10, hidden_sizes=(16,), head_sizes=(4,), noisy=True)
+    params = mlp_init(jax.random.key(8), spec)
+    x = jnp.ones((2, 10))
+    (a,) = mlp_apply(spec, params, x, key=jax.random.key(1))
+    (b,) = mlp_apply(spec, params, x, key=jax.random.key(2))
+    (c,) = mlp_apply(spec, params, x, key=None)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(c)))
+
+
+def test_normalize_state_blocks():
+    """Spot-check block scaling against the reference formula (preprocessing.py)."""
+    x = np.zeros(47, dtype=np.float32)
+    x[:10] = [0, 103, 51.5] + [-1] * 7        # hand block: 0..103 -> [-1, 1]
+    x[10] = 4                                  # players: 0..6
+    x[11:15] = [1, 5, 3, 1]                    # cards/row: 1..5
+    x[15:19] = [0, 103, 0, 0]                  # highest: 0..103
+    x[19:23] = [1, 10, 5.5, 1]                 # points/row: 1..10
+    y = np.asarray(normalize_state(jnp.asarray(x)))
+    np.testing.assert_allclose(y[0], -1.0, rtol=1e-6)
+    np.testing.assert_allclose(y[1], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(y[2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(y[10], -1 + 2 * 4 / 6, rtol=1e-6)
+    np.testing.assert_allclose(y[11], -1.0, rtol=1e-6)
+    np.testing.assert_allclose(y[12], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(y[19], -1.0, rtol=1e-6)
+    np.testing.assert_allclose(y[20], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(y[21], 0.0, atol=1e-6)
+
+
+def test_normalize_state_with_action_prefix():
+    x = np.zeros(48, dtype=np.float32)
+    x[0] = 103  # action card id
+    y = np.asarray(normalize_state(jnp.asarray(x), action=True))
+    np.testing.assert_allclose(y[0], 1.0, rtol=1e-6)
