@@ -12,13 +12,17 @@ Top-level exports mirror the reference package root
 """
 
 from .engine import EnvConfig, EnvState, InvalidMoveException, SechsNimmtEnv
+from .runtime import GameSession
+from .tournament import Tournament
 
 __version__ = "0.1.0"
 
 __all__ = [
     "EnvConfig",
     "EnvState",
+    "GameSession",
     "InvalidMoveException",
     "SechsNimmtEnv",
+    "Tournament",
     "__version__",
 ]

@@ -1,0 +1,300 @@
+"""ACER: actor-critic with experience replay (reference actor_critic.py).
+
+Two pieces, mirroring the reference split:
+
+* :class:`BatchedActionValueActorCriticAgent` -- "action-in-input" actor
+  critic: rows ``[action | state]`` through a shared 2-head MLP producing a
+  policy logit and Q per legal card; outputs padded to ``max_num_actions``
+  with ``log_epsilon`` / 0 (actor_critic.py:16-116).
+* :class:`BatchedACERAgent` -- truncated importance sampling with bias
+  correction (no trust region / dueling, as the reference README notes):
+  sequences of up to ``rollout_len`` steps are flushed into a sequence
+  buffer; each flush past warmup triggers one on-policy update (latest
+  sequence) and one off-policy update (uniform minibatch of sequences)
+  (actor_critic.py:119-207).
+
+The retrace-style recursion (actor_critic.py:195-207) re-initializes at
+sequence starts; flattening that stream shows each sequence's recursion is
+independent and bootstraps from its own last step's ``v * (1 - done)``, so
+here it runs as a reverse ``lax.scan`` vmapped over the sequence batch --
+identical math, fixed shapes, no Python loop.
+
+As in the reference, ACER stores the *current* step's reward (``next_reward
+* r_factor``), not the lagged one (actor_critic.py:136-144).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..buffers.host import HostHistory
+from ..nets import MLPSpec, mlp_apply, mlp_init, normalize_state
+from .base import Agent
+
+LOG_EPSILON = -20.0
+
+
+# ---------------------------------------------------------------- pure math
+
+
+def actor_critic_heads(spec: MLPSpec, params, state, legal_cards):
+    """Padded (log_probs[H], qs[H]) for one state and -1-padded legal set.
+
+    Matches ``_evaluate`` (actor_critic.py:85-96): softmax over the *legal*
+    rows only; padded slots get ``log_epsilon`` / 0.
+    """
+    H = legal_cards.shape[0]
+    rows = jnp.concatenate(
+        [legal_cards[:, None].astype(jnp.float32), jnp.broadcast_to(state, (H,) + state.shape)],
+        axis=1,
+    )
+    logits, qs = mlp_apply(spec, params, normalize_state(rows, action=True))
+    valid = legal_cards >= 0
+    masked_logits = jnp.where(valid, logits[:, 0], -jnp.inf)
+    log_probs = jax.nn.log_softmax(masked_logits)
+    log_probs = jnp.where(valid, jnp.maximum(log_probs, LOG_EPSILON), LOG_EPSILON)
+    qs = jnp.where(valid, qs[:, 0], 0.0)
+    return log_probs, qs
+
+
+def acer_qret(rewards, dones, q_a, v, rho_bar, length, gamma: float):
+    """Per-sequence retrace recursion over a fixed-length padded sequence.
+
+    Equivalent to the reference's flattened reverse loop with ``first``-flag
+    re-initialization (actor_critic.py:195-207); ``length`` masks the padding.
+    """
+    T = rewards.shape[0]
+
+    def body(q_ret, t):
+        is_last = t == length - 1
+        valid = t < length
+        q_in = jnp.where(is_last, v[t] * (1.0 - dones[t]), q_ret)
+        q_now = rewards[t] + gamma * q_in
+        q_next = rho_bar[t] * (q_now - q_a[t]) + v[t]
+        q_ret = jnp.where(valid, q_next, q_ret)
+        return q_ret, jnp.where(valid, q_now, 0.0)
+
+    _, q_rets = jax.lax.scan(body, jnp.zeros(()), jnp.arange(T), reverse=True)
+    return q_rets
+
+
+class BatchedActionValueActorCriticAgent(Agent):
+    """Action-in-input actor-critic base (no training algorithm itself)."""
+
+    def __init__(
+        self,
+        env=None,
+        gamma: float = 0.99,
+        optim_kwargs=None,
+        history_length=None,
+        hidden_sizes: Tuple[int, ...] = (100, 100),
+        max_num_actions: int = 10,
+        log_epsilon: float = LOG_EPSILON,
+        seed: Optional[int] = None,
+        **kwargs,
+    ):
+        super().__init__(env, gamma, optim_kwargs, history_length, seed=seed)
+        self.max_num_actions = max_num_actions
+        self.log_epsilon = log_epsilon
+        self.spec = MLPSpec(
+            input_size=1 + self.state_length, hidden_sizes=tuple(hidden_sizes), head_sizes=(1, 1)
+        )
+        self.params = mlp_init(self.next_key(), self.spec)
+        self._rebuild_jit()
+
+    def _rebuild_jit(self) -> None:
+        spec = self.spec
+        self._heads_fn = jax.jit(
+            lambda params, s, cards: actor_critic_heads(spec, params, s, cards)
+        )
+        if self.training and getattr(self, "_make_train_step", None) is not None:
+            try:
+                self._train_step = jax.jit(self._make_train_step())
+            except NotImplementedError:
+                pass
+
+    def parameters(self):
+        return self.params
+
+    def set_parameters(self, params) -> None:
+        self.params = params
+
+    def _pad_cards(self, legal_actions) -> np.ndarray:
+        padded = np.full(self.max_num_actions, -1, dtype=np.int32)
+        padded[: len(legal_actions)] = legal_actions
+        return padded
+
+    def forward(self, state, legal_actions, **kwargs):
+        state = jnp.asarray(state, jnp.float32)
+        padded = self._pad_cards(legal_actions)
+        log_probs, qs = self._heads_fn(self.params, state, jnp.asarray(padded))
+        # Sample over legal slots only (the reference samples from the padded
+        # clamped-exp distribution and retries pad picks, a-c.py:98-106).
+        logits = jnp.where(jnp.asarray(padded) >= 0, log_probs, -jnp.inf)
+        action_id = int(jax.random.categorical(self.next_key(), logits))
+        info = {
+            "action_id": action_id,
+            "log_probs": np.asarray(log_probs),
+            "log_prob": float(log_probs[action_id]),
+            "values": np.asarray(qs),
+            "value": float(qs[action_id]),
+        }
+        return int(legal_actions[action_id]), info
+
+    def learn(self, *args, **kwargs):
+        raise NotImplementedError
+
+
+class BatchedACERAgent(BatchedActionValueActorCriticAgent):
+    """ACER with truncated IS + bias correction (reference a-c.py:119-207)."""
+
+    def __init__(
+        self,
+        *args,
+        rollout_len: int = 10,
+        minibatch: int = 5,
+        truncate: float = 1.0,
+        warmup: int = 100,
+        r_factor: float = 0.1,
+        actor_weight: float = 1.0,
+        critic_weight: float = 1.0,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.rollout_len = rollout_len
+        self.batchsize = minibatch
+        self.truncate = truncate
+        self.warmup = warmup
+        self.r_factor = r_factor
+        self.actor_weight = actor_weight
+        self.critic_weight = critic_weight
+
+        self.history = HostHistory(max_length=self.history_length)
+        self._current_seq = []
+        self._train_step = None
+
+    def train(self, mode: bool = True) -> None:
+        super().train(mode)
+        if mode:
+            self._train_step = jax.jit(self._make_train_step(), static_argnums=())
+
+    # ---------------------------------------------------------------- learn
+
+    def learn(
+        self, state, reward, action, done, next_state, next_reward, episode_end, num_episode,
+        legal_actions=None, **kwargs,
+    ):
+        self._current_seq.append(
+            {
+                "state": np.asarray(state, np.float32),
+                "legal_cards": self._pad_cards(legal_actions),
+                "log_probs": np.asarray(kwargs["log_probs"], np.float32),
+                "action_id": np.int32(kwargs["action_id"]),
+                "reward": np.float32(next_reward * self.r_factor),
+                "done": np.float32(done),
+            }
+        )
+        losses = None
+        if len(self._current_seq) >= self.rollout_len or done or episode_end:
+            self._flush()
+            if len(self.history) > max(self.warmup, self.batchsize) and self.training:
+                on = self._train(on_policy=True)
+                off = self._train(on_policy=False)
+                losses = (on, off)
+        return losses
+
+    def _flush(self) -> None:
+        T = self.rollout_len
+        seq = {
+            k: np.stack([rec[k] for rec in self._current_seq])
+            for k in self._current_seq[0]
+        }
+        length = len(self._current_seq)
+        # Pad every field to the fixed rollout length.
+        pad = T - length
+        if pad:
+            seq = {k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)]) for k, v in seq.items()}
+        seq["length"] = np.int32(length)
+        self.history.store(**seq)
+        self._current_seq = []
+
+    def _train(self, on_policy: bool):
+        if on_policy:
+            raw = self.history.rollout(n=1)
+        else:
+            _, _, raw = self.history.sample(self.batchsize)
+        batch = {k: jnp.asarray(np.stack(v)) for k, v in raw.items()}
+        self.params, self.opt_state, losses = self._train_step(self.params, self.opt_state, batch)
+        return tuple(float(x) for x in losses)
+
+    # ------------------------------------------------------------- training
+
+    def _make_train_step(self):
+        spec, gamma = self.spec, self.gamma
+        truncate = self.truncate
+        aw, cw = self.actor_weight, self.critic_weight
+
+        def seq_loss(params, seq):
+            T = seq["state"].shape[0]
+            length = seq["length"]
+            valid = jnp.arange(T) < length
+
+            log_probs_now, q = jax.vmap(
+                lambda s, c: actor_critic_heads(spec, params, s, c)
+            )(seq["state"], seq["legal_cards"])
+            aid = seq["action_id"][:, None]
+            q_a = jnp.take_along_axis(q, aid, axis=1)[:, 0]
+            logp_now_a = jnp.take_along_axis(log_probs_now, aid, axis=1)[:, 0]
+            v = jax.lax.stop_gradient(
+                jnp.sum(q * jnp.exp(log_probs_now), axis=1)
+            )
+
+            rho = jax.lax.stop_gradient(jnp.exp(log_probs_now - seq["log_probs"]))
+            rho_a = jnp.take_along_axis(rho, aid, axis=1)[:, 0]
+            rho_bar = jnp.minimum(rho_a, truncate)
+            correction_coeff = jnp.maximum(1.0 - truncate / rho, 0.0)
+
+            q_ret = jax.lax.stop_gradient(
+                acer_qret(seq["reward"], seq["done"], jax.lax.stop_gradient(q_a),
+                          v, rho_bar, length, gamma)
+            )
+
+            actor_terms = -rho_bar * logp_now_a * (q_ret - v)
+            correction_terms = jnp.sum(
+                -correction_coeff
+                * jnp.exp(seq["log_probs"])
+                * log_probs_now
+                * (jax.lax.stop_gradient(q) - v[:, None]),
+                axis=1,
+            )
+            # Huber (SmoothL1) critic loss on Q_ret.
+            diff = q_a - q_ret
+            huber = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff**2, jnp.abs(diff) - 0.5)
+
+            m = valid.astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            actor_loss = jnp.sum(actor_terms * m) / n
+            correction_loss = jnp.sum(correction_terms * m) / n
+            critic_loss = cw * jnp.sum(huber * m) / n
+            return actor_loss, correction_loss, critic_loss, n
+
+        def train(params, opt_state, batch):
+            def total_loss(p):
+                al, cl, crl, n = jax.vmap(lambda seq: seq_loss(p, seq))(batch)
+                # Match the reference's flattened-stream mean: weight each
+                # sequence's mean by its step count.
+                w = n / jnp.sum(n)
+                al, cl, crl = jnp.sum(al * w), jnp.sum(cl * w), jnp.sum(crl * w)
+                return aw * al + cl + crl, (al, cl, crl)
+
+            (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses
+
+        return train

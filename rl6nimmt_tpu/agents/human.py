@@ -1,0 +1,39 @@
+"""Interactive CLI agent (the reference's ``Human``, human.py:7-33).
+
+Prompts on stdin for a 1-indexed card face until the player names a card they
+actually hold.  This is inherently a host-side agent; in the vectorized
+runtime it is bridged through a host callback on a single game lane.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from .base import Agent
+
+logger = logging.getLogger(__name__)
+
+
+class Human(Agent):
+    def __init__(self, name: str = "Human", env=None, *args, **kwargs):
+        super().__init__(env, *args, **kwargs)
+        self.__name__ = name
+
+    def forward(self, state, legal_actions, **kwargs):
+        hand = " ".join(f"{card + 1:>3d}" for card in legal_actions)
+        prompt = (
+            f"It is your turn, {self.__name__}! You have the following cards: "
+            f"{hand}. Choose one to play!"
+        )
+        action = -1
+        while action not in legal_actions:
+            raw = input(prompt)
+            try:
+                action = int(raw) - 1
+            except (TypeError, ValueError):
+                logger.error("Input in wrong format, please try again.")
+            prompt = "You don't have that card. Please pick one of your cards: " + hand
+        return action, {}
+
+    def learn(self, *args, **kwargs):
+        return 0.0

@@ -1,0 +1,114 @@
+"""Batched determinized playout engine for the Monte-Carlo search agents.
+
+The reference plays each search playout as a fresh Python ``SechsNimmtEnv``
+game, one at a time (mcts.py:91-154) -- the dominant compute of the whole
+repo.  Here a playout batch is a single device program: K determinized
+initial states (unknown opponent hands re-dealt from the card memory) are
+stacked into a batched :class:`EnvState` and a ``lax.scan`` over the
+remaining turns plays all K games in lockstep, with the per-move policy
+(uniform for MCS, the action-in-input policy net for PolicyMCS/PUCT)
+evaluated for all K x P players in one fused forward.
+
+Player 0's first move is *forced* per playout (chosen host-side by the
+variant's root strategy -- uniform / policy sample / PUCT), which is how the
+sequential root logic of the reference decomposes from the embarrassingly
+parallel playout bodies.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..engine.env import observe, sorted_hands, step
+from ..engine.state import EnvConfig, EnvState
+from ..nets import MLPSpec
+from .reinforce import action_in_input_logits
+
+NEG_INF = -jnp.inf
+
+
+def _uniform_actions(masks, key):
+    """One uniform legal card per player: ``masks bool[P, C] -> int32[P]``."""
+    logits = jnp.where(masks, 0.0, NEG_INF)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def _policy_actions(spec: MLPSpec, params, cfg: EnvConfig, state: EnvState, obs, key):
+    """Sample every player's move from the shared action-in-input policy net."""
+    hands = sorted_hands(cfg, state.hands)  # [P, H], -1 padded
+    logits = jax.vmap(lambda o, h: action_in_input_logits(spec, params, o, h))(obs, hands)
+    idx = jax.random.categorical(key, logits, axis=-1)
+    return jnp.take_along_axis(hands, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def make_playout_fn(cfg: EnvConfig, n_turns: int, policy: str, spec: MLPSpec | None):
+    """Compile ``(params, states0, first_actions, key) -> returns f32[K]``.
+
+    ``states0`` is a K-batched :class:`EnvState`; ``first_actions[k]`` is
+    forced as player 0's move on the first turn of playout ``k``; the result
+    is player 0's summed reward over ``n_turns`` turns (mcts.py:129-154).
+    """
+
+    def single(params, state0: EnvState, first_action, key):
+        def turn(carry, t):
+            state, key, ret = carry
+            key, sub = jax.random.split(key)
+            obs, masks = observe(cfg, state)
+            if policy == "uniform":
+                actions = _uniform_actions(masks, sub)
+            else:
+                actions = _policy_actions(spec, params, cfg, state, obs, sub)
+            actions = actions.at[0].set(
+                jnp.where(t == 0, first_action, actions[0]).astype(jnp.int32)
+            )
+            state, rewards = step(cfg, state, actions)
+            return (state, key, ret + rewards[0].astype(jnp.float32)), None
+
+        (state, _, ret), _ = lax.scan(
+            turn, (state0, key, jnp.zeros((), jnp.float32)), jnp.arange(n_turns)
+        )
+        return ret
+
+    batched = jax.vmap(single, in_axes=(None, 0, 0, 0))
+    return jax.jit(batched)
+
+
+def build_root_state(
+    cfg: EnvConfig,
+    board_rows: list,
+    my_hand: list,
+    opponent_hands: np.ndarray,
+) -> EnvState:
+    """Assemble a K-batched mid-game EnvState for one determinization batch.
+
+    ``opponent_hands`` is ``int64[K, P-1, n]`` of card ids per playout; the
+    board and player-0 hand are shared across the batch.
+    """
+    K = opponent_hands.shape[0]
+    R, T, P, C = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.num_cards
+
+    board = np.full((R, T), -1, dtype=np.int32)
+    row_len = np.zeros(R, dtype=np.int32)
+    for r, cards in enumerate(board_rows):
+        board[r, : len(cards)] = cards
+        row_len[r] = len(cards)
+
+    hands = np.zeros((K, P, C), dtype=bool)
+    hands[:, 0, my_hand] = True
+    k_idx = np.repeat(np.arange(K), (P - 1) * opponent_hands.shape[2])
+    p_idx = np.tile(np.repeat(np.arange(1, P), opponent_hands.shape[2]), K)
+    hands[k_idx, p_idx, opponent_hands.reshape(-1)] = True
+
+    return EnvState(
+        board=jnp.asarray(np.broadcast_to(board, (K, R, T))),
+        row_len=jnp.asarray(np.broadcast_to(row_len, (K, R))),
+        hands=jnp.asarray(hands),
+        scores=jnp.zeros((K, P), jnp.int32),
+        turn=jnp.zeros((K,), jnp.int32),
+    )
