@@ -17,36 +17,41 @@ import time
 import jax
 
 from rl6nimmt_tpu.engine import EnvConfig
-from rl6nimmt_tpu.runtime.vector import make_random_rollout
+from rl6nimmt_tpu.runtime.vector import make_random_rollout_generations
 
 NUM_GAMES = 4096
 NUM_PLAYERS = 4
 TARGET_STEPS_PER_SEC = 10_000_000.0  # BASELINE.json north-star target
 
 
+GENERATIONS = 50  # back-to-back generations fused in one device program
+
+
 def main():
     cfg = EnvConfig(num_players=NUM_PLAYERS)
-    rollout = make_random_rollout(cfg, num_games=NUM_GAMES, with_observations=True)
+    rollout = make_random_rollout_generations(
+        cfg, num_games=NUM_GAMES, generations=GENERATIONS, with_observations=True
+    )
 
     key = jax.random.key(0)
-    # Warmup / compile.
-    state, totals, checksum = rollout(key)
-    jax.block_until_ready((totals, checksum))
+    # Warmup / compile.  NOTE: results are fetched to host (np.asarray), not
+    # merely block_until_ready'd -- on tunneled device backends readiness can
+    # resolve before execution, and only a host fetch bounds the real work.
+    import numpy as np
 
-    # Timed: block after EVERY rollout (conservative -- counts full dispatch
-    # + execution latency per program; pipelined timing overstates badly on
-    # the tunneled device).
-    iters = 30
+    _ = np.asarray(rollout(key)[1])
+
+    iters = 10
     elapsed = []
     for i in range(iters):
         start = time.perf_counter()
-        state, totals, checksum = rollout(jax.random.key(i + 1))
-        jax.block_until_ready((totals, checksum))
+        out = rollout(jax.random.key(i + 1))
+        _ = float(np.asarray(out[1]))  # fetch checksum: forces execution
         elapsed.append(time.perf_counter() - start)
     elapsed.sort()
     median = elapsed[iters // 2]
 
-    env_steps = NUM_GAMES * cfg.max_turns
+    env_steps = GENERATIONS * NUM_GAMES * cfg.max_turns
     steps_per_sec = env_steps / median
 
     print(

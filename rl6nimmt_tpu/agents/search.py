@@ -24,9 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..engine.env import observe, sorted_hands, step
+from ..engine.env import observe, step
 from ..engine.state import EnvConfig, EnvState
 from ..nets import MLPSpec
+from ..utils.tpu_ops import onehot_select
 from .reinforce import action_in_input_logits
 
 NEG_INF = -jnp.inf
@@ -40,10 +41,10 @@ def _uniform_actions(masks, key):
 
 def _policy_actions(spec: MLPSpec, params, cfg: EnvConfig, state: EnvState, obs, key):
     """Sample every player's move from the shared action-in-input policy net."""
-    hands = sorted_hands(cfg, state.hands)  # [P, H], -1 padded
+    hands = state.hands_sorted  # [P, H], -1 padded
     logits = jax.vmap(lambda o, h: action_in_input_logits(spec, params, o, h))(obs, hands)
     idx = jax.random.categorical(key, logits, axis=-1)
-    return jnp.take_along_axis(hands, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
+    return onehot_select(hands, idx.astype(jnp.int32)).astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -105,10 +106,17 @@ def build_root_state(
     p_idx = np.tile(np.repeat(np.arange(1, P), opponent_hands.shape[2]), K)
     hands[k_idx, p_idx, opponent_hands.reshape(-1)] = True
 
+    n = opponent_hands.shape[2]
+    H = cfg.hand_size
+    hands_sorted = np.full((K, P, H), -1, dtype=np.int32)
+    hands_sorted[:, 0, : len(my_hand)] = sorted(my_hand)
+    hands_sorted[:, 1:, :n] = np.sort(opponent_hands, axis=2)
+
     return EnvState(
         board=jnp.asarray(np.broadcast_to(board, (K, R, T))),
         row_len=jnp.asarray(np.broadcast_to(row_len, (K, R))),
         hands=jnp.asarray(hands),
+        hands_sorted=jnp.asarray(hands_sorted),
         scores=jnp.zeros((K, P), jnp.int32),
         turn=jnp.zeros((K,), jnp.int32),
     )

@@ -46,6 +46,24 @@ def _points(cfg: EnvConfig) -> jnp.ndarray:
     return jnp.asarray(_points_np(cfg))
 
 
+def card_points_formula(card: jnp.ndarray) -> jnp.ndarray:
+    """Card point values computed arithmetically (no table gather).
+
+    TPU note: a 104-entry table lookup is a gather, which lowers to a slow
+    path on TPU; the scoring rule (cards.py / reference env.py:224-239) is
+    three modulos and selects on the VPU instead.  Negative ids (empty board
+    slots) get 0 so callers can skip masking when they multiply by length
+    masks anyway.
+    """
+    face = card + 1
+    m10 = face % 10
+    pts = jnp.where(
+        face == 55, 7,
+        jnp.where(face % 11 == 0, 5, jnp.where(m10 == 0, 3, jnp.where(m10 == 5, 2, 1))),
+    )
+    return jnp.where(card >= 0, pts, 0).astype(jnp.int32)
+
+
 # --------------------------------------------------------------------- dealing
 
 
@@ -64,6 +82,7 @@ def init_from_deck(cfg: EnvConfig, deck: jnp.ndarray) -> EnvState:
     dealt = deck[: P * H]
     owners = jnp.repeat(jnp.arange(P, dtype=jnp.int32), H)
     hands = jnp.zeros((P, C), dtype=jnp.bool_).at[owners, dealt].set(True)
+    hands_sorted = jnp.sort(dealt.reshape(P, H), axis=1)
 
     seeds = deck[C - 1 - jnp.arange(R)]
     board = jnp.full((R, T), -1, dtype=jnp.int32).at[:, 0].set(seeds)
@@ -72,6 +91,7 @@ def init_from_deck(cfg: EnvConfig, deck: jnp.ndarray) -> EnvState:
         board=board,
         row_len=jnp.ones((R,), dtype=jnp.int32),
         hands=hands,
+        hands_sorted=hands_sorted,
         scores=jnp.zeros((P,), dtype=jnp.int32),
         turn=jnp.zeros((), dtype=jnp.int32),
     )
@@ -91,7 +111,7 @@ def row_points(cfg: EnvConfig, board: jnp.ndarray, row_len: jnp.ndarray) -> jnp.
     Matches ``_row_value(include_last=True)`` (reference env.py:214-218), which
     drives both undercut row choice and the observation's score-per-row block.
     """
-    pts = _points(cfg)[jnp.clip(board, 0)]
+    pts = card_points_formula(board)
     slot = lax.broadcasted_iota(jnp.int32, board.shape, 1)
     return jnp.sum(jnp.where(slot < row_len[:, None], pts, 0), axis=1)
 
@@ -99,8 +119,8 @@ def row_points(cfg: EnvConfig, board: jnp.ndarray, row_len: jnp.ndarray) -> jnp.
 # ------------------------------------------------------------------------ step
 
 
-def _place(cfg: EnvConfig, state: EnvState, player: jnp.ndarray, card: jnp.ndarray):
-    """Resolve one sub-play: place ``card`` for ``player``, maybe capture a row.
+def _resolve(cfg: EnvConfig, board: jnp.ndarray, row_len: jnp.ndarray, card: jnp.ndarray):
+    """Place one card on the board; return (board', row_len', penalty).
 
     Semantics (reference env.py:127-172): the card joins the row whose last
     card is the highest below it; if it undercuts all rows, the cheapest row
@@ -108,36 +128,38 @@ def _place(cfg: EnvConfig, state: EnvState, player: jnp.ndarray, card: jnp.ndarr
     by undercut or by reaching ``threshold`` cards -- costs the placing player
     the points of all cards that were in the row, and restarts the row with
     just the placed card.
-    """
-    board, row_len = state.board, state.row_len
-    R, T = cfg.num_rows, cfg.threshold
 
-    lasts = jnp.take_along_axis(board, (row_len - 1)[:, None], axis=1)[:, 0]
+    TPU notes: touches ONLY the tiny board tensors ([R, T]/[R] per game) with
+    one-hot selects -- no scatters, no hand-sized arrays -- so the inherently
+    sequential ascending-order resolution stays cheap; hand updates and score
+    attribution are hoisted out of the sequential loop by :func:`step` (they
+    are order-independent).
+    """
+    R, T = cfg.num_rows, cfg.threshold
+    slot_iota = lax.broadcasted_iota(jnp.int32, (R, T), 1)
+    row_iota = lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
+
+    lasts = jnp.sum(jnp.where(slot_iota == (row_len - 1)[:, None], board, 0), axis=1)
     fits = lasts < card
     target = jnp.argmax(jnp.where(fits, lasts, -1))
     undercut = ~jnp.any(fits)
-    cheapest = jnp.argmin(row_points(cfg, board, row_len))
+    points = row_points(cfg, board, row_len)
+    cheapest = jnp.argmin(points)
     row = jnp.where(undercut, cheapest, target)
 
-    old_len = row_len[row]
-    old_points = row_points(cfg, board, row_len)[row]
+    is_row = row_iota == row                      # bool[R]
+    old_len = jnp.sum(jnp.where(is_row, row_len, 0))
+    old_points = jnp.sum(jnp.where(is_row, points, 0))
     captures = undercut | (old_len + 1 >= T)
 
-    appended = board[row].at[old_len].set(card)
-    restarted = jnp.full((T,), -1, dtype=jnp.int32).at[0].set(card)
-    board = board.at[row].set(jnp.where(captures, restarted, appended))
-    row_len = row_len.at[row].set(jnp.where(captures, 1, old_len + 1))
+    appended = jnp.where(slot_iota == old_len, card, board)
+    restarted = jnp.where(slot_iota == 0, card, -1)
+    new_rows = jnp.where(captures, restarted, appended)
+    board = jnp.where(is_row[:, None], new_rows, board)
+    row_len = jnp.where(is_row, jnp.where(captures, 1, old_len + 1), row_len)
 
     penalty = jnp.where(captures, old_points, 0)
-    reward = jnp.zeros((cfg.num_players,), dtype=jnp.int32).at[player].add(-penalty)
-
-    return EnvState(
-        board=board,
-        row_len=row_len,
-        hands=state.hands.at[player, card].set(False),
-        scores=state.scores.at[player].add(penalty),
-        turn=state.turn,
-    ), reward
+    return board, row_len, penalty
 
 
 def step(cfg: EnvConfig, state: EnvState, actions: jnp.ndarray) -> Tuple[EnvState, jnp.ndarray]:
@@ -147,21 +169,44 @@ def step(cfg: EnvConfig, state: EnvState, actions: jnp.ndarray) -> Tuple[EnvStat
     per-player reward for this turn (0 or minus captured points, accumulated
     across sub-plays exactly as reference env.py:120-136 does).  Legality is
     not checked on device; use :func:`legal_mask` / the host wrapper for that.
+
+    The P sub-plays are unrolled (P is small and static) so XLA fuses the
+    whole turn into straight-line code; only board state threads through the
+    sequence.  The hand update commutes across sub-plays, so all P played
+    cards clear from the hand masks in a single fused op per turn.
     """
+    P = cfg.num_players
     actions = actions.astype(jnp.int32)
     order = jnp.argsort(actions)  # card ids are globally unique -> total order
+    cards_ascending = jnp.sort(actions)
 
-    def sub_play(i, carry):
-        st, rew = carry
-        p = order[i]
-        st, delta = _place(cfg, st, p, actions[p])
-        return st, rew + delta
+    board, row_len = state.board, state.row_len
+    player_iota = lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
+    rewards = jnp.zeros((P,), jnp.int32)
+    for i in range(P):  # static unroll
+        board, row_len, penalty = _resolve(cfg, board, row_len, cards_ascending[i])
+        rewards = rewards - jnp.where(player_iota == order[i], penalty, 0)
 
-    state, rewards = lax.fori_loop(
-        0, cfg.num_players, sub_play,
-        (state, jnp.zeros((cfg.num_players,), dtype=jnp.int32)),
-    )
-    return state._replace(turn=state.turn + 1), rewards
+    card_iota = lax.broadcasted_iota(jnp.int32, state.hands.shape, 1)
+    hands = state.hands & (card_iota != actions[:, None])
+
+    # Incremental sorted-hand maintenance: drop each player's played card by
+    # shifting everything at/after its slot left one, padding with -1.
+    hs = state.hands_sorted
+    H = cfg.hand_size
+    slot_h = lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+    pos = jnp.argmax(hs == actions[:, None], axis=1)     # unique -> exact slot
+    shifted = jnp.concatenate([hs[:, 1:], jnp.full((P, 1), -1, jnp.int32)], axis=1)
+    hands_sorted = jnp.where(slot_h >= pos[:, None], shifted, hs)
+
+    return EnvState(
+        board=board,
+        row_len=row_len,
+        hands=hands,
+        hands_sorted=hands_sorted,
+        scores=state.scores - rewards,
+        turn=state.turn + 1,
+    ), rewards
 
 
 # ---------------------------------------------------------------- observations
@@ -171,12 +216,21 @@ def sorted_hands(cfg: EnvConfig, hands: jnp.ndarray) -> jnp.ndarray:
     """Ascending card ids per player, -1 padded: ``int32[P, hand_size]``.
 
     Reproduces the reference's sorted-hand observation block (env.py:206-212).
+
+    TPU note: card ids are already ordered along the card axis, so the sorted
+    hand is a *rank-scatter*, not a sort -- each held card's slot is its
+    prefix count among held cards (one cumsum + one scatter, O(C) on the VPU,
+    vs O(C log C) for ``jnp.sort``).  Non-held lanes scatter into a dumped
+    overflow slot.
     """
-    C = cfg.num_cards
+    H = cfg.hand_size
+    ranks = jnp.cumsum(hands, axis=1, dtype=jnp.int32) - 1
     ids = lax.broadcasted_iota(jnp.int32, hands.shape, 1)
-    keyed = jnp.where(hands, ids, C)  # sentinel sorts after every real card
-    ranked = jnp.sort(keyed, axis=1)[:, : cfg.hand_size]
-    return jnp.where(ranked < C, ranked, -1)
+    slots = jnp.where(hands, ranks, -1)                      # [P, C]
+    onehot = slots[:, :, None] == jnp.arange(H)[None, None, :]  # [P, C, H]
+    gathered = jnp.sum(ids[:, :, None] * onehot, axis=1)     # [P, H]
+    filled = jnp.any(onehot, axis=1)
+    return jnp.where(filled, gathered, -1)
 
 
 def legal_mask(state: EnvState) -> jnp.ndarray:
@@ -192,11 +246,15 @@ def observe(cfg: EnvConfig, state: EnvState) -> Tuple[jnp.ndarray, jnp.ndarray]:
     bracketed summary blocks present iff ``include_summaries``.
     """
     P = cfg.num_players
-    hand_block = sorted_hands(cfg, state.hands)
+    hand_block = state.hands_sorted
 
     pieces = [jnp.full((1,), P, dtype=jnp.int32)]
     if cfg.include_summaries:
-        highest = jnp.take_along_axis(state.board, (state.row_len - 1)[:, None], axis=1)[:, 0]
+        # One-hot select, not take_along_axis: gathers lower to a slow path.
+        slot = lax.broadcasted_iota(jnp.int32, state.board.shape, 1)
+        highest = jnp.sum(
+            jnp.where(slot == (state.row_len - 1)[:, None], state.board, 0), axis=1
+        )
         pieces += [state.row_len, highest, row_points(cfg, state.board, state.row_len)]
     pieces.append(state.board.reshape(-1))
     game_block = jnp.concatenate(pieces)

@@ -68,12 +68,21 @@ class EnvState(NamedTuple):
     board:   int32[num_rows, threshold] card ids, -1 for empty slots.
     row_len: int32[num_rows]            cards currently in each row (1..threshold-1).
     hands:   bool[num_players, num_cards] card-membership mask per player.
+    hands_sorted: int32[num_players, hand_size] ascending card ids, -1 padded.
     scores:  int32[num_players]         accumulated penalty points (positive).
     turn:    int32                      completed simultaneous turns.
+
+    ``hands`` and ``hands_sorted`` are two views of the same information: the
+    mask feeds legal-action logits in O(1), while the sorted list feeds the
+    observation's hand block.  Maintaining the sorted view *incrementally*
+    (one masked shift per played card) keeps the per-turn cost at O(hand)
+    instead of re-deriving order from the O(cards) mask every observation --
+    the difference between VPU-trivial and the hottest op in the engine.
     """
 
     board: jnp.ndarray
     row_len: jnp.ndarray
     hands: jnp.ndarray
+    hands_sorted: jnp.ndarray
     scores: jnp.ndarray
     turn: jnp.ndarray

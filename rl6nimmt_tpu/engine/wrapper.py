@@ -82,12 +82,15 @@ class SechsNimmtEnv:
             b[r, : len(cards)] = cards
             row_len[r] = len(cards)
         hand_mask = np.zeros((cfg.num_players, cfg.num_cards), dtype=bool)
+        hands_sorted = np.full((cfg.num_players, cfg.hand_size), -1, dtype=np.int32)
         for p, cards in enumerate(hands):
             hand_mask[p, list(cards)] = True
+            hands_sorted[p, : len(cards)] = sorted(cards)
         self._state = EnvState(
             board=jnp.asarray(b),
             row_len=jnp.asarray(row_len),
             hands=jnp.asarray(hand_mask),
+            hands_sorted=jnp.asarray(hands_sorted),
             scores=jnp.zeros((cfg.num_players,), dtype=jnp.int32),
             turn=jnp.zeros((), dtype=jnp.int32),
         )

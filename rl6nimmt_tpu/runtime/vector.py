@@ -42,6 +42,7 @@ from ..engine.env import deal, is_done, observe, sorted_hands, step
 from ..engine.state import EnvConfig
 from ..nets import MLPSpec
 from ..utils.returns import discounted_returns
+from ..utils.tpu_ops import onehot_select
 
 NEG_INF = -1e9
 
@@ -60,6 +61,20 @@ def make_random_rollout(cfg: EnvConfig, num_games: int, with_observations: bool 
     step_batch = jax.vmap(functools.partial(step, cfg))
     observe_batch = jax.vmap(functools.partial(observe, cfg))
 
+    def uniform_legal(state, key):
+        """One uniform legal card per seat.
+
+        TPU-efficient uniform sampling: draw ONE uniform per seat and select
+        the r-th card of the sorted hand via a one-hot sum -- instead of
+        per-lane Gumbel noise over all 104 cards (``categorical`` costs ~100x
+        the RNG for the same distribution here).
+        """
+        hs = state.hands_sorted                                # [G, P, H]
+        count = jnp.sum(hs >= 0, axis=-1)                      # [G, P]
+        r = jnp.floor(jax.random.uniform(key, count.shape) * count).astype(jnp.int32)
+        slot = lax.broadcasted_iota(jnp.int32, hs.shape, 2)
+        return jnp.sum(jnp.where(slot == r[..., None], hs, 0), axis=-1).astype(jnp.int32)
+
     def rollout(key):
         deal_keys = jax.random.split(key, num_games)
         state = deal_batch(deal_keys)
@@ -73,10 +88,7 @@ def make_random_rollout(cfg: EnvConfig, num_games: int, with_observations: bool 
                 # Keep the observation computation live (an unused obs would
                 # be dead-code-eliminated and the bench would lie).
                 checksum = checksum + jnp.sum(obs)
-            else:
-                masks = state.hands
-            logits = jnp.where(masks, 0.0, NEG_INF)
-            actions = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+            actions = uniform_legal(state, sub)
             state, rewards = step_batch(state, actions)
             return (state, key, total + rewards, checksum), None
 
@@ -88,6 +100,34 @@ def make_random_rollout(cfg: EnvConfig, num_games: int, with_observations: bool 
         return state, total, checksum
 
     return jax.jit(rollout)
+
+
+def make_random_rollout_generations(
+    cfg: EnvConfig, num_games: int, generations: int, with_observations: bool = True
+):
+    """Back-to-back generations of G games in ONE device program.
+
+    Measures sustained engine throughput without per-dispatch host latency
+    (the tunnel round trip dominates single-rollout timing): an outer
+    ``lax.scan`` re-deals and replays ``generations`` times, returning summed
+    scores and the live observation checksum.
+    """
+    single = make_random_rollout(cfg, num_games, with_observations)
+
+    def many(key):
+        def gen(carry, k):
+            total_acc, checksum_acc = carry
+            state, total, checksum = single(k)
+            return (total_acc + total, checksum_acc + checksum), None
+
+        init = (
+            jnp.zeros((num_games, cfg.num_players), jnp.int32),
+            jnp.zeros((), jnp.float32),
+        )
+        (total, checksum), _ = lax.scan(init=init, f=gen, xs=jax.random.split(key, generations))
+        return total, checksum
+
+    return jax.jit(many)
 
 
 # ------------------------------------------------------- REINFORCE self-play
@@ -107,7 +147,6 @@ def make_reinforce_rollout(cfg: EnvConfig, spec: MLPSpec, num_games: int):
     deal_batch = jax.vmap(functools.partial(deal, cfg))
     step_batch = jax.vmap(functools.partial(step, cfg))
     observe_batch = jax.vmap(functools.partial(observe, cfg))
-    hands_batch = jax.vmap(functools.partial(sorted_hands, cfg))
 
     def policy_logits(params, obs, hands):
         # obs [G, P, S], hands [G, P, H] -> logits [G, P, H]
@@ -123,10 +162,10 @@ def make_reinforce_rollout(cfg: EnvConfig, spec: MLPSpec, num_games: int):
             state, key = carry
             key, sub = jax.random.split(key)
             obs, _ = observe_batch(state)
-            hands = hands_batch(state.hands)
+            hands = state.hands_sorted
             logits = policy_logits(params, obs, hands)
             idx = jax.random.categorical(sub, logits, axis=-1)
-            actions = jnp.take_along_axis(hands, idx[..., None], axis=-1)[..., 0]
+            actions = onehot_select(hands, idx.astype(jnp.int32))
             state, rewards = step_batch(state, actions.astype(jnp.int32))
             rec = Trajectory(
                 obs=obs,
@@ -181,7 +220,7 @@ def make_reinforce_train_step(
             obs, legal_cards
         )
         logp, entropy = log_probs_and_entropy(logits)
-        chosen_logp = jnp.take_along_axis(logp, chosen[:, None], axis=1)[:, 0]
+        chosen_logp = onehot_select(logp, chosen)
         returns = discounted_returns(reward, gamma)
         t = jnp.arange(logp.shape[0], dtype=jnp.float32)
         actor = -jnp.sum(gamma**t * returns * chosen_logp)
@@ -319,7 +358,7 @@ def make_dqn_selfplay_step(
             ql = q_values(dqn_cfg, spec, params, batch["next_state"], k1 if dqn_cfg.noisy else None)
             qt = q_values(dqn_cfg, spec, target_params, batch["next_state"], k2 if dqn_cfg.noisy else None)
             idx = jnp.argmax(ql, axis=-1)
-            boot = jnp.take_along_axis(qt, idx[:, None], axis=1)[:, 0]
+            boot = onehot_select(qt, idx)
         else:
             qn = q_values(dqn_cfg, spec, params, batch["next_state"], key if dqn_cfg.noisy else None)
             boot = jnp.max(qn, axis=-1)
@@ -336,7 +375,7 @@ def make_dqn_selfplay_step(
 
         def loss_fn(p):
             q = q_values(dqn_cfg, spec, p, batch["state"], net_key if dqn_cfg.noisy else None)
-            q_eval = jnp.take_along_axis(q, batch["action"][:, None], axis=1)[:, 0]
+            q_eval = onehot_select(q, batch["action"])
             target = lax.stop_gradient(bellman(p, target_params, batch, tgt_key))
             err = q_eval - target
             return jnp.mean(weights * err**2), jnp.abs(err)
