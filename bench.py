@@ -16,6 +16,10 @@ import time
 
 import jax
 
+import rl6nimmt_tpu
+
+rl6nimmt_tpu.enable_compilation_cache()
+
 from rl6nimmt_tpu.engine import EnvConfig
 from rl6nimmt_tpu.runtime.vector import make_random_rollout_generations
 

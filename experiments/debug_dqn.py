@@ -1,0 +1,27 @@
+"""Smoke script: flagship DQN vs a random agent, one rendered game.
+
+Equivalent of the reference experiments/debug_dqn.py: run a couple of games
+at DEBUG logging and render the last one.
+"""
+
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import rl6nimmt_tpu
+
+rl6nimmt_tpu.enable_compilation_cache()
+
+from rl6nimmt_tpu.agents import DrunkHamster, Noisy_D3QN_PRB_NStep
+from rl6nimmt_tpu.runtime import GameSession
+
+logging.basicConfig(format="%(message)s", level=logging.DEBUG)
+
+agent = Noisy_D3QN_PRB_NStep(history_length=1000, n_steps=3, minibatch=16, seed=0)
+agent.train()
+session = GameSession(agent, DrunkHamster(seed=1))
+for g in range(2):
+    session.play_game(render=(g == 1))
+print("results:", session.results)

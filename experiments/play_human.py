@@ -1,0 +1,59 @@
+"""Play against Alpha0.5 on the CLI (the notebook's finale, cells 28-33).
+
+The reference's human benchmark: 5 rendered games of a Human vs a trained
+PUCT agent with mc_max=800.  Pass --checkpoint to load a trained tournament
+agent; otherwise an untrained PUCT plays (still decent -- the search carries).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import rl6nimmt_tpu
+
+rl6nimmt_tpu.enable_compilation_cache()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--name", default="Human")
+    parser.add_argument("--games", type=int, default=5)
+    parser.add_argument("--mc-max", type=int, default=800)
+    parser.add_argument("--checkpoint", default=None,
+                        help="tournament pickle; its best agent becomes the opponent")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(format="%(message)s", level=logging.INFO)
+
+    from rl6nimmt_tpu.agents import Human, PUCTAgent
+    from rl6nimmt_tpu.runtime import GameSession
+    from rl6nimmt_tpu.utils import load_checkpoint
+
+    if args.checkpoint:
+        tournament = load_checkpoint(args.checkpoint)
+        opponent = tournament.winner()
+        print(f"Loaded opponent {getattr(opponent, '__name__', '?')} from {args.checkpoint}")
+    else:
+        opponent = PUCTAgent(mc_max=args.mc_max)
+        opponent.__name__ = "Alpha0.5"
+    if hasattr(opponent, "mc_max"):
+        opponent.mc_max = args.mc_max
+    if hasattr(opponent, "eval"):
+        opponent.eval()
+
+    human = Human(args.name)
+    session = GameSession(human, opponent)
+    for _ in range(args.games):
+        session.play_game(render=True)
+
+    totals = sum(session.results)
+    print(f"Series total: {args.name} {totals[0]} vs {opponent.__name__} {totals[1]}")
+
+
+if __name__ == "__main__":
+    main()

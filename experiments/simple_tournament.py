@@ -1,0 +1,132 @@
+"""The published experiment, as a script (reference simple_tournament.ipynb).
+
+Reproduces the notebook's protocol (SURVEY.md §2.4): five agents (Random,
+D3QN = Noisy_D3QN_PRB_NStep, ACER, MCS, Alpha0.5 = PUCT), staged play with
+evolution, ELO K-factor annealing, pickle checkpoints between stages, and an
+ELO-vs-games plot.  Flags scale it down for smoke runs.
+
+Stages (notebook cells 8-26):
+  1. games 0..2000, mc_max=200: evolve(max_players=6, max_per_descendant=2,
+     copies=(2,)) every 400 games.
+  2. games ..3200, mc_max=400, elo_k=16, no more evolution.
+  3. ELO fine-tune: k in {32, 16, 8, 4}, 200 games each.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import rl6nimmt_tpu
+
+rl6nimmt_tpu.enable_compilation_cache()
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scale", type=float, default=1.0,
+                        help="scale all game counts (use e.g. 0.01 for a smoke run)")
+    parser.add_argument("--mc-max", type=int, default=200)
+    parser.add_argument("--checkpoint-dir", type=str, default=".")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(format="%(message)s", level=logging.INFO)
+    for name in logging.root.manager.loggerDict:
+        if "rl6nimmt" not in name:
+            logging.getLogger(name).setLevel(logging.WARNING)
+    np.random.seed(args.seed)
+
+    from rl6nimmt_tpu.agents import (
+        BatchedACERAgent,
+        DrunkHamster,
+        MCSAgent,
+        Noisy_D3QN_PRB_NStep,
+        PUCTAgent,
+    )
+    from rl6nimmt_tpu.tournament import Tournament
+    from rl6nimmt_tpu.utils import save_checkpoint
+
+    n = lambda games: max(1, int(games * args.scale))
+    ckpt = lambda tag: str(Path(args.checkpoint_dir) / f".tournament{tag}.pickle")
+
+    agents = {
+        "Random": DrunkHamster(seed=args.seed),
+        "D3QN": Noisy_D3QN_PRB_NStep(
+            history_length=int(1e5), n_steps=10, seed=args.seed + 1
+        ),
+        "ACER": BatchedACERAgent(minibatch=10, seed=args.seed + 2),
+        "MCS": MCSAgent(mc_max=args.mc_max, seed=args.seed + 3),
+        "Alpha0.5": PUCTAgent(mc_max=args.mc_max, seed=args.seed + 4),
+    }
+    for agent in agents.values():
+        try:
+            agent.train()
+        except Exception:
+            pass
+
+    tournament = Tournament(min_players=2, max_players=4)
+    for name, agent in agents.items():
+        tournament.add_player(name, agent)
+    print(tournament)
+
+    # ------------------------------------------------- stage 1: evolve era
+    while tournament.total_games < n(2000):
+        for _ in range(n(400)):
+            tournament.play_game()
+        print(tournament)
+        if tournament.total_games < n(2000):
+            tournament.evolve(max_players=6, max_per_descendant=2, copies=(2,))
+    save_checkpoint(ckpt(""), tournament)
+
+    # ----------------------------------- stage 2: longer search, steadier K
+    for agent in tournament.agents.values():
+        if hasattr(agent, "mc_max"):
+            agent.mc_max = args.mc_max * 2
+    tournament.elo_k = 16
+    while tournament.total_games < n(3200):
+        for _ in range(n(400)):
+            tournament.play_game()
+        print(tournament)
+    save_checkpoint(ckpt("2"), tournament)
+
+    # ------------------------------------------------ stage 3: ELO annealing
+    for stage, k in enumerate((32, 16, 8, 4), start=3):
+        tournament.elo_k = k
+        for _ in range(n(200)):
+            tournament.play_game()
+        print(tournament)
+        save_checkpoint(ckpt(str(stage)), tournament)
+
+    # ------------------------------------------------------------- ELO plot
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        plt.figure(figsize=(8, 5))
+        for name in tournament.agents:
+            series = tournament.elos[name]
+            plt.plot(range(len(series)), series, label=name)
+        plt.xlabel("games played")
+        plt.ylabel("ELO")
+        plt.legend()
+        plt.savefig(str(Path(args.checkpoint_dir) / "elo.png"), dpi=120)
+        plt.savefig(str(Path(args.checkpoint_dir) / "elo.pdf"))
+        print("wrote elo.png / elo.pdf")
+    except Exception as e:  # matplotlib optional
+        print(f"(skipping ELO plot: {e})")
+
+    print(tournament)
+    return tournament
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,21 @@ from .tournament import Tournament
 
 __version__ = "0.1.0"
 
+
+def enable_compilation_cache(path: str = "~/.cache/rl6nimmt_jax") -> None:
+    """Persist XLA compilations across processes.
+
+    Worth calling at the top of any script: search agents and vectorized
+    trainers compile a handful of programs whose (remote) compilation can
+    dominate short runs.
+    """
+    import os
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 __all__ = [
     "EnvConfig",
     "EnvState",

@@ -123,7 +123,7 @@ class BaseMCAgent(Agent):
             threshold=self.threshold,
             include_summaries=self.include_summaries,
         )
-        playout = make_playout_fn(env_cfg, n, self.playout_policy, self._playout_spec())
+        playout = make_playout_fn(env_cfg, self.playout_policy, self._playout_spec())
         board_rows = self._board_from_state(state, flatten=False)
 
         remaining = n_mc
@@ -138,6 +138,7 @@ class BaseMCAgent(Agent):
                     self._playout_params(),
                     states0,
                     jnp.asarray(first, jnp.int32),
+                    jnp.asarray(n, jnp.int32),
                     jax.random.split(self.next_key(), K),
                 )
             )

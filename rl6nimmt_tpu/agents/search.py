@@ -48,15 +48,19 @@ def _policy_actions(spec: MLPSpec, params, cfg: EnvConfig, state: EnvState, obs,
 
 
 @functools.lru_cache(maxsize=None)
-def make_playout_fn(cfg: EnvConfig, n_turns: int, policy: str, spec: MLPSpec | None):
-    """Compile ``(params, states0, first_actions, key) -> returns f32[K]``.
+def make_playout_fn(cfg: EnvConfig, policy: str, spec: MLPSpec | None):
+    """Compile ``(params, states0, first_actions, n_turns, key) -> f32[K]``.
 
     ``states0`` is a K-batched :class:`EnvState`; ``first_actions[k]`` is
     forced as player 0's move on the first turn of playout ``k``; the result
     is player 0's summed reward over ``n_turns`` turns (mcts.py:129-154).
+
+    ``n_turns`` is a *traced* scalar: the scan always runs ``hand_size``
+    iterations and masks the tail, so one compiled program serves every
+    remaining-hand size (vs. one slow tunnel compile per decision depth).
     """
 
-    def single(params, state0: EnvState, first_action, key):
+    def single(params, state0: EnvState, first_action, n_turns, key):
         def turn(carry, t):
             state, key, ret = carry
             key, sub = jax.random.split(key)
@@ -68,15 +72,20 @@ def make_playout_fn(cfg: EnvConfig, n_turns: int, policy: str, spec: MLPSpec | N
             actions = actions.at[0].set(
                 jnp.where(t == 0, first_action, actions[0]).astype(jnp.int32)
             )
-            state, rewards = step(cfg, state, actions)
-            return (state, key, ret + rewards[0].astype(jnp.float32)), None
+            new_state, rewards = step(cfg, state, actions)
+            live = t < n_turns
+            state = jax.tree.map(
+                lambda new, old: jnp.where(live, new, old), new_state, state
+            )
+            ret = ret + jnp.where(live, rewards[0], 0).astype(jnp.float32)
+            return (state, key, ret), None
 
         (state, _, ret), _ = lax.scan(
-            turn, (state0, key, jnp.zeros((), jnp.float32)), jnp.arange(n_turns)
+            turn, (state0, key, jnp.zeros((), jnp.float32)), jnp.arange(cfg.hand_size)
         )
         return ret
 
-    batched = jax.vmap(single, in_axes=(None, 0, 0, 0))
+    batched = jax.vmap(single, in_axes=(None, 0, 0, None, 0))
     return jax.jit(batched)
 
 

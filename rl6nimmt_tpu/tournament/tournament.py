@@ -187,9 +187,10 @@ class Tournament:
 
     def _choose_players(self, num_players: Optional[int]):
         if num_players is None:
-            num_players = int(
-                np.random.choice(range(self.min_players, self.max_players + 1))
-            )
+            # Clamp to the active population so a small roster doesn't crash
+            # (the reference asserts instead, tournament.py:170).
+            upper = min(self.max_players, len(self))
+            num_players = int(np.random.choice(range(self.min_players, upper + 1)))
         assert len(self) >= num_players
         names = self.active_agents()
         idx = np.random.choice(len(names), size=num_players, replace=False)
