@@ -104,6 +104,12 @@ class HostPriorityBuffer:
         return idx, weights, batch
 
     def batch_update(self, idx: np.ndarray, abs_errors: np.ndarray) -> None:
+        if _native is not None:
+            _native.update_priorities(
+                self.priorities, idx, np.asarray(abs_errors),
+                EPSILON, ABS_ERROR_UPPER, ALPHA,
+            )
+            return
         abs_errors = np.asarray(abs_errors, dtype=np.float64)
         clipped = np.minimum(np.abs(abs_errors) + EPSILON, ABS_ERROR_UPPER)
         self.priorities[np.asarray(idx, dtype=np.int64)] = clipped**ALPHA
