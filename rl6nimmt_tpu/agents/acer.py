@@ -48,12 +48,9 @@ def actor_critic_heads(spec: MLPSpec, params, state, legal_cards):
     Matches ``_evaluate`` (actor_critic.py:85-96): softmax over the *legal*
     rows only; padded slots get ``log_epsilon`` / 0.
     """
-    H = legal_cards.shape[0]
-    rows = jnp.concatenate(
-        [legal_cards[:, None].astype(jnp.float32), jnp.broadcast_to(state, (H,) + state.shape)],
-        axis=1,
-    )
-    logits, qs = mlp_apply(spec, params, normalize_state(rows, action=True))
+    from .reinforce import action_in_input_heads
+
+    logits, qs = action_in_input_heads(spec, params, state, legal_cards)
     valid = legal_cards >= 0
     masked_logits = jnp.where(valid, logits[:, 0], -jnp.inf)
     log_probs = jax.nn.log_softmax(masked_logits)

@@ -438,12 +438,9 @@ class PUCTCustomedAgent(PUCTAgent):
 
 def _policy_value(spec: MLPSpec, params, state, legal_cards):
     """(log pi over legal slots, V per slot) from the width-2 head."""
-    H = legal_cards.shape[0]
-    rows = jnp.concatenate(
-        [legal_cards[:, None].astype(jnp.float32), jnp.broadcast_to(state, (H,) + state.shape)],
-        axis=1,
-    )
-    (out,) = mlp_apply(spec, params, normalize_state(rows, action=True))
+    from .reinforce import action_in_input_heads
+
+    (out,) = action_in_input_heads(spec, params, state, legal_cards)
     valid = legal_cards >= 0
     logits = jnp.where(valid, out[:, 0], -jnp.inf)
     return jax.nn.log_softmax(logits), jnp.where(valid, out[:, 1], -jnp.inf)

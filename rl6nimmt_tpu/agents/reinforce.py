@@ -56,16 +56,41 @@ def action_in_input_logits(spec: MLPSpec, params, state, legal_cards):
 
     ``legal_cards`` is ``int32[H]`` padded with -1; padded rows get -inf.
     """
-    rows = jnp.concatenate(
-        [
-            legal_cards[:, None].astype(jnp.float32),
-            jnp.broadcast_to(state, (legal_cards.shape[0],) + state.shape),
-        ],
-        axis=1,
-    )
-    x = normalize_state(rows, action=True)
-    (logits,) = mlp_apply(spec, params, x)
-    return jnp.where(legal_cards >= 0, logits[:, 0], NEG_INF)
+    heads = action_in_input_heads(spec, params, state, legal_cards)
+    return jnp.where(legal_cards >= 0, heads[0][:, 0], NEG_INF)
+
+
+def action_in_input_heads(spec: MLPSpec, params, state, legal_cards):
+    """All head outputs for the ``[action | state]`` candidate batch: ``[H, head]``.
+
+    TPU optimization (exact, not approximate): the candidate rows share the
+    state and differ only in the leading action feature, and the first layer
+    is linear -- so its state contribution is computed ONCE and the per-action
+    contribution is a rank-1 add:
+
+        h1[h] = act(norm(state) @ W1[1:] + b1 + norm(a_h) * W1[0])
+
+    This removes the H-fold duplication of the first matmul and never
+    materializes the ``[H, 1+S]`` row tensor.  Layers past the first see
+    genuinely different activations and run on the ``[H, hidden]`` batch.
+    """
+    H = legal_cards.shape[0]
+    state_norm = normalize_state(state)                     # [S]
+    # Action feature normalization: first block of the action=True layout.
+    cards = 104  # matches normalize_state default used throughout
+    a_norm = -1.0 + 2.0 * legal_cards.astype(jnp.float32) / (cards - 1)
+
+    from ..nets.mlp import _activation, linear_apply
+
+    act = _activation(spec.activation)
+    first = params["trunk"][0]
+    w, b = first["w"], first["b"]                           # [1+S, D], [D]
+    shared = jnp.dot(state_norm, w[1:], preferred_element_type=jnp.float32) + b
+    h = act(shared[None, :] + a_norm[:, None] * w[0][None, :])  # [H, D]
+
+    for layer in params["trunk"][1:]:
+        h = act(linear_apply(layer, h))
+    return tuple(linear_apply(head, h) for head in params["heads"])
 
 
 def log_probs_and_entropy(logits):
