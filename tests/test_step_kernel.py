@@ -1,4 +1,10 @@
-"""Pallas turn-resolution kernel vs the reference engine step (interpret mode)."""
+"""Pallas turn-resolution kernel vs the engine step.
+
+Runs compiled on a real TPU; skipped on CPU (the Pallas interpreter is far
+too slow for this fully-unrolled kernel).  To exercise it manually on a TPU
+host: run this file without the conftest CPU pin, e.g. via
+``python tests/standalone_step_kernel_check.py`` style drives.
+"""
 
 import functools
 
@@ -8,23 +14,27 @@ import numpy as np
 import pytest
 
 from rl6nimmt_tpu.engine import EnvConfig, deal, step
-from rl6nimmt_tpu.ops.step_kernel import make_turn_resolver
+
+requires_tpu = pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="compiled Pallas kernel needs TPU; interpret mode is impractically slow",
+)
 
 
-@pytest.mark.parametrize("num_players", [4])
+@requires_tpu
+@pytest.mark.parametrize("num_players", [2, 4])
 def test_kernel_matches_engine_step(num_players):
+    from rl6nimmt_tpu.ops.step_kernel import TILE, make_turn_resolver
+
     cfg = EnvConfig(num_players=num_players)
-    G = 128
+    G = TILE
     deal_b = jax.vmap(functools.partial(deal, cfg))
     step_b = jax.jit(jax.vmap(functools.partial(step, cfg)))
-    resolver = make_turn_resolver(cfg, G, interpret=True)
+    resolver = make_turn_resolver(cfg, G)
 
-    key = jax.random.key(0)
-    state = deal_b(jax.random.split(key, G))
-
+    state = deal_b(jax.random.split(jax.random.key(0), G))
     rng = np.random.RandomState(1)
-    for turn in range(3):  # interpret mode is slow; 3 turns cover captures
-        # Random legal actions per seat.
+    for turn in range(10):
         hs = np.asarray(state.hands_sorted)
         counts = (hs >= 0).sum(axis=2)
         picks = (rng.random(counts.shape) * counts).astype(np.int64)
