@@ -1,3 +1,4 @@
+from .cnn import CNNSpec, cnn_apply, cnn_init
 from .mlp import (
     MLPSpec,
     dueling_apply,
@@ -11,6 +12,9 @@ from .mlp import (
 from .normalize import normalize_state
 
 __all__ = [
+    "CNNSpec",
+    "cnn_apply",
+    "cnn_init",
     "MLPSpec",
     "dueling_apply",
     "linear_apply",

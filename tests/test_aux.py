@@ -1,0 +1,116 @@
+"""Auxiliary subsystem tests: checkpointing, metrics, parity harness, CNN."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from rl6nimmt_tpu.agents import BatchedReinforceAgent, DrunkHamster, Noisy_D3QN_PRB_NStep
+from rl6nimmt_tpu.nets import CNNSpec, MLPSpec, cnn_apply, cnn_init, mlp_init
+from rl6nimmt_tpu.parity import ParityEnv, reference_deck, reference_hands_and_board
+from rl6nimmt_tpu.runtime import GameSession
+from rl6nimmt_tpu.runtime.metrics import MetricLogger, Timer, grad_stats, timeit
+from rl6nimmt_tpu.tournament import Tournament
+from rl6nimmt_tpu.utils import load_checkpoint, load_params, save_checkpoint, save_params
+
+
+def test_checkpoint_roundtrip_tournament(tmp_path):
+    t = Tournament()
+    agent = BatchedReinforceAgent(seed=0)
+    agent.train()
+    t.add_player("r", agent)
+    t.add_player("x", DrunkHamster(seed=1))
+    np.random.seed(0)
+    t.play_game()
+
+    path = str(tmp_path / "ckpt.pickle")
+    save_checkpoint(path, t)
+    t2 = load_checkpoint(path)
+    assert t2.total_games == 1
+    assert set(t2.agents) == {"r", "x"}
+    for a, b in zip(jax.tree.leaves(t.agents["r"].parameters()),
+                    jax.tree.leaves(t2.agents["r"].parameters())):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Restored tournament keeps playing (jitted fns rebuilt on load).
+    t2.play_game()
+    assert t2.total_games == 2
+
+
+def test_params_npz_roundtrip(tmp_path):
+    spec = MLPSpec(input_size=8, hidden_sizes=(4,), head_sizes=(2,))
+    params = mlp_init(jax.random.key(0), spec)
+    path = str(tmp_path / "params.npz")
+    save_params(path, params)
+    loaded = load_params(path, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dqn_agent_with_metric_logger(tmp_path):
+    log_path = str(tmp_path / "metrics.jsonl")
+    logger = MetricLogger(log_path)
+    agent = Noisy_D3QN_PRB_NStep(seed=2, minibatch=8, history_length=500,
+                                 summary_writer=logger)
+    agent.train()
+    session = GameSession(agent, DrunkHamster(seed=3))
+    session.play_game()
+    logger.add_scalar("debug/eps", agent.eps, 0)
+    logger.close()
+    assert os.path.exists(log_path)
+    assert logger.series["debug/eps"]
+
+
+def test_timer_and_timeit_and_gradstats():
+    timer = Timer()
+    with timer.measure("block"):
+        _ = sum(range(1000))
+    assert timer.summary()["block"]["count"] == 1
+
+    @timeit
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2
+
+    stats = grad_stats({"layer": {"w": jnp.ones((2, 2)), "b": jnp.zeros(2)}})
+    assert stats["layer/w"]["mean_abs"] == 1.0
+    assert stats["layer/b"]["max_abs"] == 0.0
+
+
+def test_reference_deck_replays_numpy_shuffle():
+    """Bit-exact deal parity: our replay equals the reference's global-RNG deal."""
+    seed = 1234
+    # What the reference would do: np.random.seed(seed); shuffle(arange(104)).
+    np.random.seed(seed)
+    expected = np.arange(104)
+    np.random.shuffle(expected)
+    np.testing.assert_array_equal(reference_deck(seed), expected)
+
+    hands, board = reference_hands_and_board(expected, num_players=4)
+    env = ParityEnv(num_players=4)
+    env.reset_with_deck(expected)
+    assert env.hands == hands
+    assert env.board == board
+
+    # Engine agrees through its own deck entry point.
+    from rl6nimmt_tpu.engine import SechsNimmtEnv
+
+    jenv = SechsNimmtEnv(4, verbose=False)
+    jenv.reset_with_deck(expected)
+    assert jenv.hands == hands
+    assert jenv.board == board
+
+
+def test_cnn_shapes():
+    spec = CNNSpec(in_channels=3, hidden_channels=(8,), out_channels=4)
+    params = cnn_init(jax.random.key(5), spec)
+    x = jnp.ones((2, 16, 16, 3))
+    y = cnn_apply(spec, params, x)
+    assert y.shape == (2, 4, 4, 4)  # two 2x2 pools: 16 -> 8 -> 4
+    # linear_out_size reproduces the reference formula (nets.py:88-94), which
+    # counts one pool too many (len(sizes) instead of len(sizes)-1) -- kept
+    # as-is for parity with the (unused) reference CNN.
+    assert spec.linear_out_size(16, 16) == 2 * 2 * 4
