@@ -1,3 +1,4 @@
+from .arena import SeatPolicy, make_arena, play_match, seat_policy_of
 from .session import GameSession
 
-__all__ = ["GameSession"]
+__all__ = ["GameSession", "SeatPolicy", "make_arena", "play_match", "seat_policy_of"]
