@@ -33,7 +33,7 @@ import numpy as np
 import optax
 
 from ..buffers.host import HostHistory
-from ..nets import MLPSpec, mlp_apply, mlp_init, normalize_state
+from ..nets import MLPSpec, mlp_init
 from .base import Agent
 
 LOG_EPSILON = -20.0

@@ -38,7 +38,7 @@ import numpy as np
 import optax
 
 from ..engine.state import EnvConfig
-from ..nets import MLPSpec, mlp_apply, mlp_init, normalize_state
+from ..nets import MLPSpec, mlp_init
 from .base import Agent
 from .reinforce import action_in_input_logits
 from .search import build_root_state, make_playout_fn

@@ -26,7 +26,6 @@ step's reward (the reference reward-lag protocol, play.py:52-71), times
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -36,9 +36,9 @@ from jax import lax
 
 from ..agents.dqn import DQNConfig, q_network_spec, q_values
 from ..agents.reinforce import action_in_input_logits, log_probs_and_entropy
-from ..buffers.per import PERState, per_add_batch, per_sample, per_update
-from ..buffers.ring import RingState, ring_add_batch, ring_sample
-from ..engine.env import deal, is_done, observe, sorted_hands, step
+from ..buffers.per import per_add_batch, per_sample, per_update
+from ..buffers.ring import ring_add_batch, ring_sample
+from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
 from ..nets import MLPSpec
 from ..utils.returns import discounted_returns
