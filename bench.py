@@ -33,8 +33,10 @@ GENERATIONS = 50  # back-to-back generations fused in one device program
 
 def main():
     cfg = EnvConfig(num_players=NUM_PLAYERS)
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     rollout = make_random_rollout_generations(
-        cfg, num_games=NUM_GAMES, generations=GENERATIONS, with_observations=True
+        cfg, num_games=NUM_GAMES, generations=GENERATIONS, with_observations=True,
+        use_pallas=on_tpu,  # Pallas turn kernel: fastest path on real TPUs
     )
 
     key = jax.random.key(0)

@@ -103,7 +103,11 @@ def make_random_rollout(cfg: EnvConfig, num_games: int, with_observations: bool 
 
 
 def make_random_rollout_generations(
-    cfg: EnvConfig, num_games: int, generations: int, with_observations: bool = True
+    cfg: EnvConfig,
+    num_games: int,
+    generations: int,
+    with_observations: bool = True,
+    use_pallas: bool = False,
 ):
     """Back-to-back generations of G games in ONE device program.
 
@@ -111,7 +115,14 @@ def make_random_rollout_generations(
     (the tunnel round trip dominates single-rollout timing): an outer
     ``lax.scan`` re-deals and replays ``generations`` times, returning summed
     scores and the live observation checksum.
+
+    ``use_pallas=True`` routes the turn resolution through the Pallas kernel
+    (``ops.step_kernel``) with a games-last board carried across the whole
+    rollout -- the fastest path on real TPUs (requires ``num_games`` to be a
+    multiple of the kernel tile).
     """
+    if use_pallas:
+        return _make_pallas_generations(cfg, num_games, generations, with_observations)
     single = make_random_rollout(cfg, num_games, with_observations)
 
     def many(key):
@@ -124,6 +135,74 @@ def make_random_rollout_generations(
             jnp.zeros((num_games, cfg.num_players), jnp.int32),
             jnp.zeros((), jnp.float32),
         )
+        (total, checksum), _ = lax.scan(init=init, f=gen, xs=jax.random.split(key, generations))
+        return total, checksum
+
+    return jax.jit(many)
+
+
+def _make_pallas_generations(
+    cfg: EnvConfig, num_games: int, generations: int, with_observations: bool
+):
+    from ..engine.env import card_points_formula
+    from ..ops.step_kernel import make_turn_resolver_t
+
+    G, R, T, P = num_games, cfg.num_rows, cfg.threshold, cfg.num_players
+    deal_batch = jax.vmap(functools.partial(deal, cfg))
+    resolve_t = make_turn_resolver_t(cfg, G)
+
+    def observe_from(board_t, len_t, hs):
+        board = board_t.T.reshape(G, R, T)
+        row_len = len_t.T
+        slot = lax.broadcasted_iota(jnp.int32, board.shape, 2)
+        highest = jnp.sum(jnp.where(slot == (row_len - 1)[:, :, None], board, 0), axis=2)
+        pts = jnp.sum(
+            jnp.where(slot < row_len[:, :, None], card_points_formula(board), 0), axis=2
+        )
+        pieces = [jnp.full((G, 1), P, jnp.int32)]
+        if cfg.include_summaries:
+            pieces += [row_len, highest, pts]
+        pieces.append(board.reshape(G, -1))
+        game = jnp.concatenate(pieces, axis=1).astype(jnp.float32)
+        return jnp.concatenate(
+            [hs.astype(jnp.float32),
+             jnp.broadcast_to(game[:, None, :], (G, P, game.shape[1]))],
+            axis=2,
+        )
+
+    def many(key):
+        def gen(carry, k):
+            total_acc, checksum_acc = carry
+            state = deal_batch(jax.random.split(k, G))
+            board_t = state.board.reshape(G, R * T).T
+            len_t = state.row_len.T
+            hs = state.hands_sorted
+
+            def turn(c, t):
+                board_t, len_t, hs, key, total, checksum = c
+                key, sub = jax.random.split(key)
+                if with_observations:
+                    checksum = checksum + jnp.sum(observe_from(board_t, len_t, hs))
+                count = jnp.sum(hs >= 0, axis=-1)
+                r = jnp.floor(jax.random.uniform(sub, count.shape) * count).astype(jnp.int32)
+                slot = lax.broadcasted_iota(jnp.int32, hs.shape, 2)
+                acts = jnp.sum(jnp.where(slot == r[..., None], hs, 0), axis=-1).astype(jnp.int32)
+                board_t, len_t, rew_t = resolve_t(board_t, len_t, acts)
+                pos = jnp.argmax(hs == acts[:, :, None], axis=2)
+                shifted = jnp.concatenate(
+                    [hs[:, :, 1:], jnp.full((G, P, 1), -1, jnp.int32)], axis=2
+                )
+                hs = jnp.where(slot >= pos[..., None], shifted, hs)
+                return (board_t, len_t, hs, key, total + rew_t.T, checksum), None
+
+            init = (board_t, len_t, hs, k,
+                    jnp.zeros((G, P), jnp.int32), jnp.zeros((), jnp.float32))
+            (board_t, len_t, hs, _, total, checksum), _ = lax.scan(
+                turn, init, jnp.arange(cfg.max_turns)
+            )
+            return (total_acc + total, checksum_acc + checksum), None
+
+        init = (jnp.zeros((G, P), jnp.int32), jnp.zeros((), jnp.float32))
         (total, checksum), _ = lax.scan(init=init, f=gen, xs=jax.random.split(key, generations))
         return total, checksum
 
