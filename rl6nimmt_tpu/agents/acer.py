@@ -101,7 +101,7 @@ class BatchedActionValueActorCriticAgent(Agent):
         self.spec = MLPSpec(
             input_size=1 + self.state_length, hidden_sizes=tuple(hidden_sizes), head_sizes=(1, 1)
         )
-        self.params = mlp_init(self.next_key(), self.spec)
+        self.params = self.host_put(mlp_init(self.next_key(), self.spec))
         self._rebuild_jit()
 
     def _rebuild_jit(self) -> None:

@@ -52,6 +52,25 @@ class Agent:
         self.training = False
         self._rng = jax.random.key(np.random.randint(0, 2**31 - 1) if seed is None else seed)
 
+        # Host-path inference device: the interactive protocol issues one tiny
+        # net call per decision; on a remote accelerator each such call pays a
+        # full dispatch round trip, so host agents pin their parameters (and
+        # thus their jitted computations) to the local CPU.  The vectorized
+        # runtime never touches these objects; search agents re-stage their
+        # params onto the accelerator for batched playouts (mcs.py).
+        try:
+            self._host_device = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            self._host_device = None
+        if self._host_device is not None:
+            self._rng = jax.device_put(self._rng, self._host_device)
+
+    def host_put(self, tree):
+        """Pin a pytree to the host inference device (no-op without one)."""
+        if self._host_device is None:
+            return tree
+        return jax.device_put(tree, self._host_device)
+
     # ---------------------------------------------------- (de)serialization
     #
     # Agents are picklable: jitted callables and the optax optimizer are
@@ -68,6 +87,8 @@ class Agent:
         "_heads_fn",
         "_root_fn",
         "_pv_fn",
+        "_host_device",
+        "_accel_params_cache",
     )
 
     def __getstate__(self):
@@ -82,6 +103,14 @@ class Agent:
         for attr in self.TRANSIENT_ATTRS:
             if attr not in self.__dict__:
                 self.__dict__[attr] = None
+        try:
+            self._host_device = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            self._host_device = None
+        if self._host_device is not None:
+            self._rng = jax.device_put(self._rng, self._host_device)
+            if self.__dict__.get("params") is not None:
+                self.params = jax.device_put(self.params, self._host_device)
         saved_opt_state = self.__dict__.get("opt_state")
         if self.training:
             self.train(True)

@@ -170,7 +170,7 @@ class DQNAgent(Agent):
         self.summary_writer = summary_writer
 
         self.spec = q_network_spec(cfg, self.state_length, self.num_actions)
-        self.params = mlp_init(self.next_key(), self.spec)
+        self.params = self.host_put(mlp_init(self.next_key(), self.spec))
         # Hard-copy target at init (reference soft_update(tau=1), dqn.py:321).
         self.target_params = jax.tree.map(jnp.copy, self.params) if cfg.double else None
 

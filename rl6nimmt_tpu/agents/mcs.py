@@ -221,9 +221,10 @@ class PolicyMCSAgent(BaseMCAgent):
         self.spec = MLPSpec(
             input_size=self.state_length + 1, hidden_sizes=tuple(hidden_sizes), head_sizes=(1,)
         )
-        self.params = mlp_init(self.next_key(), self.spec)
+        self.params = self.host_put(mlp_init(self.next_key(), self.spec))
         self._episode = []
         self._train_step = None
+        self._accel_params_cache = None
         self._rebuild_jit()
 
     def _rebuild_jit(self) -> None:
@@ -251,7 +252,16 @@ class PolicyMCSAgent(BaseMCAgent):
         return self.spec
 
     def _playout_params(self):
-        return self.params
+        # Playouts run batched on the default (accelerator) device while the
+        # interactive params live on the host CPU; re-stage on change only.
+        cache = getattr(self, "_accel_params_cache", None)
+        if cache is not None and cache[0] is self.params:
+            return cache[1]
+        import jax as _jax
+
+        staged = _jax.device_put(self.params, _jax.devices()[0])
+        self._accel_params_cache = (self.params, staged)
+        return staged
 
     def _root_log_probs(self, state, legal_actions):
         padded = np.full(self.handsize, -1, dtype=np.int32)
@@ -357,7 +367,7 @@ class PUCTCustomedAgent(PUCTAgent):
         self.spec = MLPSpec(
             input_size=self.state_length + 1, hidden_sizes=tuple(hidden_sizes), head_sizes=(2,)
         )
-        self.params = mlp_init(self.next_key(), self.spec)
+        self.params = self.host_put(mlp_init(self.next_key(), self.spec))
         self._rebuild_jit()
 
     def _rebuild_jit(self) -> None:

@@ -142,7 +142,7 @@ class _ReinforceBase(Agent):
         self.actor_weight = actor_weight
         self.entropy_weight = entropy_weight
         self.spec = self._build_spec(tuple(hidden_sizes))
-        self.params = mlp_init(self.next_key(), self.spec)
+        self.params = self.host_put(mlp_init(self.next_key(), self.spec))
         self._episode = []
         self._train_step = None
 
