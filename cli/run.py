@@ -52,8 +52,13 @@ def main(argv=None):
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="pickle path: loaded if it exists, saved every block")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force JAX platform (e.g. cpu)")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        rl6nimmt_tpu.use_platform(args.platform)
 
     logging.basicConfig(
         format="%(message)s", level=logging.DEBUG if args.verbose else logging.INFO

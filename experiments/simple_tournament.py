@@ -35,7 +35,12 @@ def main(argv=None):
     parser.add_argument("--mc-max", type=int, default=200)
     parser.add_argument("--checkpoint-dir", type=str, default=".")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force JAX platform (e.g. cpu)")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        rl6nimmt_tpu.use_platform(args.platform)
 
     logging.basicConfig(format="%(message)s", level=logging.INFO)
     for name in logging.root.manager.loggerDict:

@@ -18,6 +18,18 @@ from .tournament import Tournament
 __version__ = "0.1.0"
 
 
+def use_platform(name: str) -> None:
+    """Force the JAX platform (e.g. "cpu") before any backend initializes.
+
+    The container may pin ``JAX_PLATFORMS`` to an accelerator tunnel in
+    ``sitecustomize``; env vars alone arrive too late once jax is imported,
+    so scripts call this instead.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", name)
+
+
 def enable_compilation_cache(path: str = "~/.cache/rl6nimmt_jax") -> None:
     """Persist XLA compilations across processes.
 

@@ -133,13 +133,16 @@ class BaseMCAgent(Agent):
             first = self._choose_first_moves(K, legal_actions, outcomes, root_log_probs)
             opp = self._deal_opponent_hands(K, n)
             states0 = build_root_state(env_cfg, board_rows, list(legal_actions), opp)
+            # Keys come from the CPU-pinned agent RNG; stage them onto the
+            # playout device so committed-device placement stays consistent.
+            keys = jax.device_put(jax.random.split(self.next_key(), K), jax.devices()[0])
             rets = np.asarray(
                 playout(
                     self._playout_params(),
                     states0,
                     jnp.asarray(first, jnp.int32),
                     jnp.asarray(n, jnp.int32),
-                    jax.random.split(self.next_key(), K),
+                    keys,
                 )
             )
             for a, r in zip(first, rets):
