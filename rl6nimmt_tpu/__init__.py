@@ -30,6 +30,17 @@ def use_platform(name: str) -> None:
     jax.config.update("jax_platforms", name)
 
 
+def enable_debug_nans(enable: bool = True) -> None:
+    """Toggle JAX NaN checking (the framework's numerical-sanitizer mode).
+
+    With it on, any NaN produced inside a jitted computation raises at the
+    producing op -- the TPU-native analog of torch's anomaly detection.
+    """
+    import jax
+
+    jax.config.update("jax_debug_nans", enable)
+
+
 def enable_compilation_cache(path: str = "~/.cache/rl6nimmt_jax") -> None:
     """Persist XLA compilations across processes.
 

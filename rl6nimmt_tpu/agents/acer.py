@@ -143,6 +143,19 @@ class BatchedActionValueActorCriticAgent(Agent):
         }
         return int(legal_actions[action_id]), info
 
+    def evaluate(self, states, legal_actions_list):
+        """Padded (log_probs[B, H], qs[B, H]) for a batch of decision points.
+
+        API parity with the reference ``evaluate`` (actor_critic.py:59-72),
+        vectorized instead of a Python loop over games.
+        """
+        states = jnp.asarray(np.stack([np.asarray(s, np.float32) for s in states]))
+        cards = jnp.asarray(np.stack([self._pad_cards(la) for la in legal_actions_list]))
+        log_probs, qs = jax.vmap(
+            lambda s, c: actor_critic_heads(self.spec, self.params, s, c)
+        )(states, cards)
+        return log_probs, qs
+
     def learn(self, *args, **kwargs):
         raise NotImplementedError
 
