@@ -1,0 +1,214 @@
+"""Pallas TPU kernel playing ENTIRE random games in VMEM.
+
+The logical endpoint of the engine's fusion story: where ``step_kernel``
+resolves one turn per invocation, this kernel plays the *whole* 10-turn game
+-- uniform-legal sampling (in-kernel PRNG), ascending-order resolution,
+sorted-hand maintenance, and per-turn observation checksums -- without
+touching HBM between turns.  Per grid block it holds a (8, 128) tile of games
+(board 24 rows, row lengths 4, sorted hands P*H rows) entirely in VMEM.
+
+Used by the throughput benchmark's fastest path; returns per-game total
+rewards plus a per-game observation checksum so the observation math stays
+live (same definition as the XLA rollout: sum of all observation entries per
+turn, i.e. hand blocks of every seat plus num_players/summaries/board grid
+once per seat).
+
+RNG: the TPU hardware PRNG (``pltpu.prng_random_bits``) seeded per block;
+the sampled-action stream therefore differs from the ``jax.random`` rollout
+paths (uniform-legal distribution is identical; use the XLA path when you
+need key-reproducible trajectories).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..engine.state import EnvConfig
+from .step_kernel import LANES, SUBLANES, TILE, _card_points
+
+
+def _compare_swap(cards, players, i, j):
+    """Vectorized compare-swap on (card, player) pairs: ascending by card."""
+    swap = cards[i] > cards[j]
+    ci, cj = jnp.where(swap, cards[j], cards[i]), jnp.where(swap, cards[i], cards[j])
+    pi, pj = jnp.where(swap, players[j], players[i]), jnp.where(swap, players[i], players[j])
+    cards[i], cards[j] = ci, cj
+    players[i], players[j] = pi, pj
+
+
+def _game_kernel(cfg: EnvConfig, seed_ref, board_ref, len_ref, hs_ref,
+                 reward_out, checksum_out):
+    R, T, P, H = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    board = [board_ref[i] for i in range(R * T)]          # [8,128] tiles
+    row_len = [len_ref[r] for r in range(R)]
+    hands = [hs_ref[i] for i in range(P * H)]             # player p slot h = p*H+h
+    rewards = [jnp.zeros_like(board[0]) for _ in range(P)]
+    checksum = jnp.zeros_like(board[0], dtype=jnp.float32)
+
+    for t in range(cfg.max_turns):
+        count = H - t  # cards left in every hand this turn (static)
+
+        # ----- observation checksum (matches engine observe layout sums) ----
+        if True:
+            hand_sum = jnp.zeros_like(board[0])
+            for i in range(P * H):
+                hand_sum = hand_sum + hands[i]
+            board_sum = jnp.zeros_like(board[0])
+            pts_sum = jnp.zeros_like(board[0])
+            len_sum = jnp.zeros_like(board[0])
+            high_sum = jnp.zeros_like(board[0])
+            for r in range(R):
+                len_sum = len_sum + row_len[r]
+                for s in range(T):
+                    cell = board[r * T + s]
+                    filled = s < row_len[r]
+                    board_sum = board_sum + cell  # empty slots already hold -1
+                    pts_sum = pts_sum + jnp.where(filled, _card_points(cell), 0)
+                    high_sum = high_sum + jnp.where(s == row_len[r] - 1, cell, 0)
+            game_block = P + len_sum + high_sum + pts_sum + board_sum
+            checksum = checksum + hand_sum.astype(jnp.float32) + (
+                P * game_block
+            ).astype(jnp.float32)
+
+        # ------------------------- uniform-legal sampling per seat ----------
+        cards = []
+        players = []
+        for p in range(P):
+            bits = pltpu.prng_random_bits(board[0].shape)
+            r = (pltpu.bitcast(bits, jnp.uint32) % jnp.uint32(count)).astype(jnp.int32)
+            pick = jnp.zeros_like(board[0])
+            for h in range(count):
+                pick = jnp.where(r == h, hands[p * H + h], pick)
+            cards.append(pick)
+            players.append(jnp.full_like(pick, p))
+            # Remove the picked card: shift left from slot r.
+            for h in range(count - 1):
+                hands[p * H + h] = jnp.where(
+                    r <= h, hands[p * H + h + 1], hands[p * H + h]
+                )
+            hands[p * H + count - 1] = jnp.where(
+                r <= count - 1, jnp.full_like(pick, -1), hands[p * H + count - 1]
+            )
+
+        # ------------------ ascending order: bubble sorting network ---------
+        for i in range(P):
+            for j in range(P - 1 - i):
+                _compare_swap(cards, players, j, j + 1)
+
+        # --------------------------- resolve the P sub-plays ----------------
+        for i in range(P):
+            card, player = cards[i], players[i]
+
+            lasts, points = [], []
+            for r in range(R):
+                last = jnp.zeros_like(card)
+                pts = jnp.zeros_like(card)
+                for s in range(T):
+                    cell = board[r * T + s]
+                    last = jnp.where(s == row_len[r] - 1, cell, last)
+                    pts = pts + jnp.where(s < row_len[r], _card_points(cell), 0)
+                lasts.append(last)
+                points.append(pts)
+
+            best_last = jnp.full_like(card, -1)
+            target = jnp.zeros_like(card)
+            for r in range(R):
+                fit = lasts[r] < card
+                better = fit & (lasts[r] > best_last)
+                best_last = jnp.where(better, lasts[r], best_last)
+                target = jnp.where(better, r, target)
+            undercut = best_last < 0
+
+            cheapest_pts = points[0]
+            cheapest = jnp.zeros_like(card)
+            for r in range(1, R):
+                cheaper = points[r] < cheapest_pts
+                cheapest_pts = jnp.where(cheaper, points[r], cheapest_pts)
+                cheapest = jnp.where(cheaper, r, cheapest)
+            row = jnp.where(undercut, cheapest, target)
+
+            old_len = jnp.zeros_like(card)
+            old_pts = jnp.zeros_like(card)
+            for r in range(R):
+                sel = row == r
+                old_len = jnp.where(sel, row_len[r], old_len)
+                old_pts = jnp.where(sel, points[r], old_pts)
+            captures = undercut | (old_len + 1 >= T)
+
+            for r in range(R):
+                sel = row == r
+                for s in range(T):
+                    cell = board[r * T + s]
+                    cap_cell = jnp.where(s == 0, card, jnp.full_like(card, -1))
+                    app_cell = jnp.where(s == old_len, card, cell)
+                    board[r * T + s] = jnp.where(
+                        sel, jnp.where(captures, cap_cell, app_cell), cell
+                    )
+                row_len[r] = jnp.where(
+                    sel, jnp.where(captures, jnp.ones_like(old_len), old_len + 1),
+                    row_len[r],
+                )
+
+            penalty = jnp.where(captures, old_pts, 0)
+            for p in range(P):
+                rewards[p] = rewards[p] - jnp.where(player == p, penalty, 0)
+
+    for p in range(P):
+        reward_out[p] = rewards[p]
+    checksum_out[0] = checksum
+
+
+@functools.lru_cache(maxsize=None)
+def make_game_kernel(cfg: EnvConfig, num_games: int, with_observations: bool = True):
+    """Compile ``(seed, board_t, len_t, hs_t) -> (rewards[P,G], checksum[G])``.
+
+    Inputs use the games-last tiled layout ``[rows, G//128, 128]``; see
+    :func:`play_random_games` for the convenience wrapper from a dealt
+    :class:`EnvState` batch.
+    """
+    del with_observations  # checksum always computed (keeps comparisons fair)
+    R, T, P, H = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size
+    G = num_games
+    assert G % TILE == 0, f"num_games={G} must be a multiple of {TILE}"
+    grid = (G // TILE,)
+
+    kernel = functools.partial(_game_kernel, cfg)
+    blk = lambda rows: pl.BlockSpec(
+        (rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    shaped = lambda rows, dtype=jnp.int32: jax.ShapeDtypeStruct(
+        (rows, G // LANES, LANES), dtype
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            blk(R * T), blk(R), blk(P * H),
+        ],
+        out_specs=(blk(P), blk(1)),
+        out_shape=(shaped(P), shaped(1, jnp.float32)),
+    )
+
+    def play(seed, board, row_len, hands_sorted):
+        """From a freshly dealt [G]-batched EnvState's fields."""
+        tile3 = lambda x: x.reshape(G, -1).T.reshape(-1, G // LANES, LANES)
+        rewards_t, checksum_t = call(
+            jnp.asarray([seed], jnp.int32),
+            tile3(board), tile3(row_len), tile3(hands_sorted),
+        )
+        return (
+            rewards_t.reshape(P, G).T,
+            checksum_t.reshape(G),
+        )
+
+    return jax.jit(play)
