@@ -28,15 +28,17 @@ NUM_PLAYERS = 4
 TARGET_STEPS_PER_SEC = 10_000_000.0  # BASELINE.json north-star target
 
 
-GENERATIONS = 50  # back-to-back generations fused in one device program
-
-
 def main():
     cfg = EnvConfig(num_players=NUM_PLAYERS)
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    # On real TPUs: the fully-fused self-dealing game kernel (deal + 10 turns
+    # + observation checksums per generation in one Pallas call).  Enough
+    # generations per dispatch that the host fetch round trip (~26 ms over
+    # the tunnel) stops dominating the measurement.  CPU fallback: XLA path.
+    generations = 1000 if on_tpu else 50
     rollout = make_random_rollout_generations(
-        cfg, num_games=NUM_GAMES, generations=GENERATIONS, with_observations=True,
-        use_pallas=on_tpu,  # Pallas turn kernel: fastest path on real TPUs
+        cfg, num_games=NUM_GAMES, generations=generations, with_observations=True,
+        use_pallas="fused" if on_tpu else False,
     )
 
     key = jax.random.key(0)
@@ -57,7 +59,7 @@ def main():
     elapsed.sort()
     median = elapsed[iters // 2]
 
-    env_steps = GENERATIONS * NUM_GAMES * cfg.max_turns
+    env_steps = generations * NUM_GAMES * cfg.max_turns
     steps_per_sec = env_steps / median
 
     print(

