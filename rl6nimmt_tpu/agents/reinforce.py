@@ -79,17 +79,18 @@ def action_in_input_heads(spec: MLPSpec, params, state, legal_cards):
     cards = 104  # matches normalize_state default used throughout
     a_norm = -1.0 + 2.0 * legal_cards.astype(jnp.float32) / (cards - 1)
 
-    from ..nets.mlp import _activation, linear_apply
+    from ..nets.mlp import _activation, _mm, linear_apply
 
     act = _activation(spec.activation)
+    dtype = spec.compute_dtype
     first = params["trunk"][0]
     w, b = first["w"], first["b"]                           # [1+S, D], [D]
-    shared = jnp.dot(state_norm, w[1:], preferred_element_type=jnp.float32) + b
+    shared = _mm(state_norm, w[1:], dtype) + b
     h = act(shared[None, :] + a_norm[:, None] * w[0][None, :])  # [H, D]
 
     for layer in params["trunk"][1:]:
-        h = act(linear_apply(layer, h))
-    return tuple(linear_apply(head, h) for head in params["heads"])
+        h = act(linear_apply(layer, h, dtype=dtype))
+    return tuple(linear_apply(head, h, dtype=dtype) for head in params["heads"])
 
 
 def log_probs_and_entropy(logits):

@@ -42,6 +42,10 @@ class MLPSpec:
     noisy: bool = False
     sigma_init: float = 0.5
     activation: str = "relu"
+    # Matmul input dtype: "bfloat16" feeds the MXU at full rate (params and
+    # accumulation stay f32 -- mixed precision, not quantized storage).
+    # Default f32 keeps bit-exact parity with the NumPy test replicas.
+    compute_dtype: str = "float32"
 
     @property
     def layer_sizes(self) -> Tuple[Tuple[int, int], ...]:
@@ -68,8 +72,15 @@ def linear_init(key: jax.Array, in_dim: int, out_dim: int) -> dict:
     }
 
 
-def linear_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+def _mm(x: jnp.ndarray, w: jnp.ndarray, dtype: Optional[str]) -> jnp.ndarray:
+    """Matmul with optional low-precision inputs and f32 accumulation."""
+    if dtype is not None and dtype != "float32":
+        x, w = x.astype(dtype), w.astype(dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def linear_apply(params: dict, x: jnp.ndarray, dtype: Optional[str] = None) -> jnp.ndarray:
+    return _mm(x, params["w"], dtype) + params["b"]
 
 
 def noisy_linear_init(
@@ -97,12 +108,13 @@ def noisy_linear_init(
 
 
 def noisy_linear_apply(
-    params: dict, x: jnp.ndarray, key: Optional[jax.Array], factorized: bool = True
+    params: dict, x: jnp.ndarray, key: Optional[jax.Array], factorized: bool = True,
+    dtype: Optional[str] = None,
 ) -> jnp.ndarray:
     """Noisy forward pass; ``key=None`` silences the noise (deterministic eval)."""
     w, b = params["w"], params["b"]
     if key is None:
-        return jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        return _mm(x, w, dtype) + b
 
     in_dim, out_dim = w.shape
     if factorized:
@@ -119,7 +131,7 @@ def noisy_linear_apply(
 
     w_eff = w + params["sigma_w"] * w_noise
     b_eff = b + params["sigma_b"] * b_noise
-    return jnp.dot(x, w_eff, preferred_element_type=jnp.float32) + b_eff
+    return _mm(x, w_eff, dtype) + b_eff
 
 
 # ----------------------------------------------------------------------- MLP
@@ -154,10 +166,11 @@ def mlp_apply(
     else:
         keys = [None] * n_layers
 
+    dtype = spec.compute_dtype
     apply = (
-        (lambda p, v, k: noisy_linear_apply(p, v, k, factorized=True))
+        (lambda p, v, k: noisy_linear_apply(p, v, k, factorized=True, dtype=dtype))
         if spec.noisy
-        else (lambda p, v, k: linear_apply(p, v))
+        else (lambda p, v, k: linear_apply(p, v, dtype=dtype))
     )
 
     h = x
