@@ -45,6 +45,40 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = GAMES_AXIS) -> Mesh
     return Mesh(np.asarray(devices), (axis,))
 
 
+DCN_AXIS, ICI_AXIS = "dcn", "ici"
+
+
+def make_mesh_2level(
+    num_slices: int, devices_per_slice: Optional[int] = None
+) -> Mesh:
+    """DCN-aware 2-level mesh: axes ``("dcn", "ici")`` (SURVEY.md §5).
+
+    Row-major device order keeps each slice's devices contiguous, so the
+    inner ``ici`` axis maps to the fast in-slice interconnect and the outer
+    ``dcn`` axis to the data-center network.  Reductions over
+    ``(DCN_AXIS, ICI_AXIS)`` then lower to hierarchical collectives: an
+    all-reduce inside every slice rides ICI, and only the per-slice partials
+    cross DCN.  The games axis shards over *both* axes
+    (``P((DCN_AXIS, ICI_AXIS))``), giving every device an equal local batch.
+
+    On real multi-slice hardware the device list from ``jax.devices()`` is
+    already grouped by slice; on a single host this builds a virtual 2-level
+    mesh for testing the sharding (e.g. 2 "slices" x 4 virtual CPU devices).
+    """
+    devices = jax.devices()
+    if devices_per_slice is None:
+        assert len(devices) % num_slices == 0, (len(devices), num_slices)
+        devices_per_slice = len(devices) // num_slices
+    n = num_slices * devices_per_slice
+    grid = np.asarray(devices[:n]).reshape(num_slices, devices_per_slice)
+    return Mesh(grid, (DCN_AXIS, ICI_AXIS))
+
+
+def mesh_axes(mesh: Mesh):
+    """All mesh axis names as a tuple (the reduce spec for a full pmean)."""
+    return tuple(mesh.axis_names)
+
+
 def game_sharding(mesh: Mesh, axis: str = GAMES_AXIS) -> NamedSharding:
     """Shard the leading (games) axis of an array over the mesh."""
     return NamedSharding(mesh, P(axis))
@@ -60,7 +94,7 @@ def make_dp_reinforce_step(
     optimizer: optax.GradientTransformation,
     games_per_device: int,
     mesh: Mesh,
-    axis: str = GAMES_AXIS,
+    axis=None,
     **reinforce_kwargs,
 ):
     """Data-parallel REINFORCE self-play step over a device mesh.
@@ -69,7 +103,13 @@ def make_dp_reinforce_step(
     where ``keys`` is one PRNG key per device (``jax.random.split(key,
     mesh.size)``).  Each device plays ``games_per_device`` games; gradients
     are pmean-reduced so the update is identical everywhere.
+
+    ``axis`` defaults to *all* mesh axes: on a :func:`make_mesh_2level` mesh
+    the games axis shards over ``(dcn, ici)`` and the gradient pmean lowers
+    to a hierarchical in-slice (ICI) + cross-slice (DCN) all-reduce.
     """
+    if axis is None:
+        axis = mesh_axes(mesh) if len(mesh.axis_names) > 1 else mesh.axis_names[0]
     local_step = make_reinforce_train_step(
         cfg, spec, optimizer, games_per_device, axis_name=axis, **reinforce_kwargs
     )
@@ -106,7 +146,7 @@ def make_dp_dqn_step(
     optimizer: optax.GradientTransformation,
     games_per_device: int,
     mesh: Mesh,
-    axis: str = GAMES_AXIS,
+    axis=None,
     **dqn_kwargs,
 ):
     """Data-parallel DQN self-play cycle over a device mesh.
@@ -118,6 +158,8 @@ def make_dp_dqn_step(
     opt_state, stacked_buffer, keys, eps) -> (params, target_params,
     opt_state, stacked_buffer, metrics)``.
     """
+    if axis is None:
+        axis = mesh_axes(mesh) if len(mesh.axis_names) > 1 else mesh.axis_names[0]
     inner = make_dqn_selfplay_step(
         cfg, dqn_cfg, optimizer, games_per_device, **dqn_kwargs
     )

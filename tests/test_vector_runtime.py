@@ -162,3 +162,62 @@ def test_dp_dqn_step_on_mesh():
     )
     assert np.isfinite(float(metrics["loss"]))
     assert int(np.asarray(buf.size).sum()) == mesh.size * 2 * 4 * 10  # per-device fills
+
+
+def test_dp_reinforce_step_on_2level_mesh():
+    """DCN-aware hierarchy: games shard over (dcn, ici); pmean over both axes.
+
+    Must produce the SAME parameters as the flat 1-D mesh for the same
+    per-device keys: the mean over 8 devices is independent of how the mesh
+    factorizes, so the 2-level result is checked value-for-value against the
+    1-D run.
+    """
+    from rl6nimmt_tpu.parallel import make_mesh_2level
+
+    spec = reinforce_spec()
+    params0 = mlp_init(jax.random.key(15), spec)
+    optimizer = optax.adam(1e-3)
+    keys = jax.random.split(jax.random.key(16), 8)
+
+    results = []
+    for mesh in (make_mesh(), make_mesh_2level(num_slices=2)):
+        assert mesh.size == 8
+        step = make_dp_reinforce_step(CFG, spec, optimizer, games_per_device=2, mesh=mesh)
+        params, _, metrics = step(params0, optimizer.init(params0), keys)
+        assert np.isfinite(float(metrics["loss"]))
+        results.append((params, float(metrics["loss"])))
+
+    (p1, l1), (p2, l2) = results
+    assert abs(l1 - l2) < 1e-5
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dp_dqn_step_on_2level_mesh():
+    from rl6nimmt_tpu.parallel import make_mesh_2level
+
+    mesh = make_mesh_2level(num_slices=2)
+    assert mesh.axis_names == ("dcn", "ici") and mesh.size == 8
+    dqn_cfg = DQNConfig(double=True, per=True, hidden_sizes=(16,), minibatch=16)
+    spec = q_network_spec(dqn_cfg, CFG.state_length, CFG.num_actions)
+    params = mlp_init(jax.random.key(17), spec)
+    target = jax.tree.map(jnp.copy, params)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    example = {
+        "state": jnp.zeros(CFG.state_length),
+        "action": jnp.zeros((), jnp.int32),
+        "reward": jnp.zeros(()),
+        "next_state": jnp.zeros(CFG.state_length),
+        "done": jnp.zeros(()),
+    }
+    buf = stack_for_mesh(per_init(512, example), mesh)
+    step = make_dp_dqn_step(CFG, dqn_cfg, optimizer, games_per_device=2, mesh=mesh,
+                            learn_iters=2)
+    keys = jax.random.split(jax.random.key(18), mesh.size)
+    params, target, opt_state, buf, metrics = step(
+        params, target, opt_state, buf, keys, jnp.asarray(0.3)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(np.asarray(buf.size).sum()) == mesh.size * 2 * 4 * 10
