@@ -27,7 +27,7 @@ import numpy as np
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--algo", choices=["reinforce", "dqn"], default="reinforce")
+    parser.add_argument("--algo", choices=["reinforce", "dqn", "acer"], default="reinforce")
     parser.add_argument("--games", type=int, default=4096, help="parallel games per step")
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--players", type=int, default=4)
@@ -86,6 +86,42 @@ def main(argv=None):
                 rate = args.games * cfg.num_players * (i + 1) / (time.perf_counter() - start)
                 print(f"step {i:>4}  loss {loss:>10.3f}  mean_score {score:>7.3f}  "
                       f"episodes/s {rate:,.0f}")
+
+    elif args.algo == "acer":
+        from rl6nimmt_tpu.buffers import seq_init
+        from rl6nimmt_tpu.runtime.vector import make_acer_selfplay_step
+
+        spec = MLPSpec(
+            input_size=1 + cfg.state_length,
+            hidden_sizes=tuple(args.hidden),
+            head_sizes=(1, 1),
+        )
+        params = mlp_init(jax.random.key(args.seed), spec)
+        opt_state = optimizer.init(params)
+        example = {
+            "state": jnp.zeros(cfg.state_length),
+            "legal_cards": jnp.zeros(10, jnp.int32),
+            "log_probs": jnp.zeros(10),
+            "action_id": jnp.zeros((), jnp.int32),
+            "reward": jnp.zeros(()),
+            "done": jnp.zeros(()),
+        }
+        buf = seq_init(args.buffer, cfg.max_turns, example)
+        cycle = make_acer_selfplay_step(
+            cfg, spec, optimizer, args.games, minibatch=args.minibatch
+        )
+        key = jax.random.key(args.seed + 1)
+        start = time.perf_counter()
+        for i in range(args.steps):
+            key, sub = jax.random.split(key)
+            params, opt_state, buf, metrics = cycle(params, opt_state, buf, sub)
+            if i % 10 == 0 or i == args.steps - 1:
+                score = float(np.asarray(metrics["mean_score"]))
+                al = float(np.asarray(metrics["actor_loss"]))
+                crl = float(np.asarray(metrics["critic_loss"]))
+                rate = args.games * cfg.num_players * (i + 1) / (time.perf_counter() - start)
+                print(f"cycle {i:>4}  actor {al:>9.4f}  critic {crl:>9.4f}  "
+                      f"mean_score {score:>7.3f}  episodes/s {rate:,.0f}")
 
     else:
         from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec

@@ -245,66 +245,86 @@ class BatchedACERAgent(BatchedActionValueActorCriticAgent):
     # ------------------------------------------------------------- training
 
     def _make_train_step(self):
-        spec, gamma = self.spec, self.gamma
-        truncate = self.truncate
-        aw, cw = self.actor_weight, self.critic_weight
+        return make_acer_train_step(
+            self.spec, self.optimizer, self.gamma, self.truncate,
+            self.actor_weight, self.critic_weight,
+        )
 
-        def seq_loss(params, seq):
-            T = seq["state"].shape[0]
-            length = seq["length"]
-            valid = jnp.arange(T) < length
 
-            log_probs_now, q = jax.vmap(
-                lambda s, c: actor_critic_heads(spec, params, s, c)
-            )(seq["state"], seq["legal_cards"])
-            aid = seq["action_id"][:, None]
-            q_a = jnp.take_along_axis(q, aid, axis=1)[:, 0]
-            logp_now_a = jnp.take_along_axis(log_probs_now, aid, axis=1)[:, 0]
-            v = jax.lax.stop_gradient(
-                jnp.sum(q * jnp.exp(log_probs_now), axis=1)
-            )
+def make_acer_train_step(
+    spec: MLPSpec,
+    optimizer,
+    gamma: float = 0.99,
+    truncate: float = 1.0,
+    actor_weight: float = 1.0,
+    critic_weight: float = 1.0,
+):
+    """ACER update over a batch of padded sequences (shared by the
+    interactive agent and the vectorized self-play trainer).
 
-            rho = jax.lax.stop_gradient(jnp.exp(log_probs_now - seq["log_probs"]))
-            rho_a = jnp.take_along_axis(rho, aid, axis=1)[:, 0]
-            rho_bar = jnp.minimum(rho_a, truncate)
-            correction_coeff = jnp.maximum(1.0 - truncate / rho, 0.0)
+    ``train(params, opt_state, batch)`` expects ``batch`` leaves with leading
+    axes ``[B, T, ...]``: state, legal_cards, log_probs (behavior), action_id,
+    reward, done, plus ``length [B]``.
+    """
+    aw, cw = actor_weight, critic_weight
 
-            q_ret = jax.lax.stop_gradient(
-                acer_qret(seq["reward"], seq["done"], jax.lax.stop_gradient(q_a),
-                          v, rho_bar, length, gamma)
-            )
 
-            actor_terms = -rho_bar * logp_now_a * (q_ret - v)
-            correction_terms = jnp.sum(
-                -correction_coeff
-                * jnp.exp(seq["log_probs"])
-                * log_probs_now
-                * (jax.lax.stop_gradient(q) - v[:, None]),
-                axis=1,
-            )
-            # Huber (SmoothL1) critic loss on Q_ret.
-            diff = q_a - q_ret
-            huber = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff**2, jnp.abs(diff) - 0.5)
+    def seq_loss(params, seq):
+        T = seq["state"].shape[0]
+        length = seq["length"]
+        valid = jnp.arange(T) < length
 
-            m = valid.astype(jnp.float32)
-            n = jnp.maximum(jnp.sum(m), 1.0)
-            actor_loss = jnp.sum(actor_terms * m) / n
-            correction_loss = jnp.sum(correction_terms * m) / n
-            critic_loss = cw * jnp.sum(huber * m) / n
-            return actor_loss, correction_loss, critic_loss, n
+        log_probs_now, q = jax.vmap(
+            lambda s, c: actor_critic_heads(spec, params, s, c)
+        )(seq["state"], seq["legal_cards"])
+        aid = seq["action_id"][:, None]
+        q_a = jnp.take_along_axis(q, aid, axis=1)[:, 0]
+        logp_now_a = jnp.take_along_axis(log_probs_now, aid, axis=1)[:, 0]
+        v = jax.lax.stop_gradient(
+            jnp.sum(q * jnp.exp(log_probs_now), axis=1)
+        )
 
-        def train(params, opt_state, batch):
-            def total_loss(p):
-                al, cl, crl, n = jax.vmap(lambda seq: seq_loss(p, seq))(batch)
-                # Match the reference's flattened-stream mean: weight each
-                # sequence's mean by its step count.
-                w = n / jnp.sum(n)
-                al, cl, crl = jnp.sum(al * w), jnp.sum(cl * w), jnp.sum(crl * w)
-                return aw * al + cl + crl, (al, cl, crl)
+        rho = jax.lax.stop_gradient(jnp.exp(log_probs_now - seq["log_probs"]))
+        rho_a = jnp.take_along_axis(rho, aid, axis=1)[:, 0]
+        rho_bar = jnp.minimum(rho_a, truncate)
+        correction_coeff = jnp.maximum(1.0 - truncate / rho, 0.0)
 
-            (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, losses
+        q_ret = jax.lax.stop_gradient(
+            acer_qret(seq["reward"], seq["done"], jax.lax.stop_gradient(q_a),
+                      v, rho_bar, length, gamma)
+        )
 
-        return train
+        actor_terms = -rho_bar * logp_now_a * (q_ret - v)
+        correction_terms = jnp.sum(
+            -correction_coeff
+            * jnp.exp(seq["log_probs"])
+            * log_probs_now
+            * (jax.lax.stop_gradient(q) - v[:, None]),
+            axis=1,
+        )
+        # Huber (SmoothL1) critic loss on Q_ret.
+        diff = q_a - q_ret
+        huber = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff**2, jnp.abs(diff) - 0.5)
+
+        m = valid.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(m), 1.0)
+        actor_loss = jnp.sum(actor_terms * m) / n
+        correction_loss = jnp.sum(correction_terms * m) / n
+        critic_loss = cw * jnp.sum(huber * m) / n
+        return actor_loss, correction_loss, critic_loss, n
+
+    def train(params, opt_state, batch):
+        def total_loss(p):
+            al, cl, crl, n = jax.vmap(lambda seq: seq_loss(p, seq))(batch)
+            # Match the reference's flattened-stream mean: weight each
+            # sequence's mean by its step count.
+            w = n / jnp.sum(n)
+            al, cl, crl = jnp.sum(al * w), jnp.sum(cl * w), jnp.sum(crl * w)
+            return aw * al + cl + crl, (al, cl, crl)
+
+        (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    return train

@@ -70,6 +70,28 @@ def seq_flush(state: SeqState) -> SeqState:
     )
 
 
+def seq_store_batch(state: SeqState, seqs: Any, lengths: jnp.ndarray) -> SeqState:
+    """Flush ``B`` complete sequences at once (the vectorized trainer's path).
+
+    ``seqs`` leaves are ``[B, max_len, ...]``; ``lengths`` is ``int32[B]``.
+    Writes occupy slots ``ptr..ptr+B-1`` modulo capacity (B must not exceed
+    capacity).  The interactive one-at-a-time path keeps using
+    :func:`seq_store`/:func:`seq_flush`.
+    """
+    cap = seq_capacity(state)
+    B = lengths.shape[0]
+    idx = (state.ptr + jnp.arange(B, dtype=jnp.int32)) % cap
+    storage = jax.tree.map(
+        lambda buf, batch: buf.at[idx].set(batch), state.storage, seqs
+    )
+    return state._replace(
+        storage=storage,
+        seq_len=state.seq_len.at[idx].set(lengths.astype(jnp.int32)),
+        ptr=(state.ptr + B) % cap,
+        size=jnp.minimum(state.size + B, cap),
+    )
+
+
 def seq_sample(state: SeqState, key: jax.Array, n: int) -> Tuple[jnp.ndarray, Any, jnp.ndarray]:
     """Uniform sample of ``n`` sequences -> (indices, batch, lengths)."""
     idx = jax.random.randint(key, (n,), 0, jnp.maximum(state.size, 1))

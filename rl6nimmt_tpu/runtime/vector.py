@@ -534,3 +534,128 @@ def make_dqn_selfplay_step(
         return params, target_params, opt_state, buf, metrics
 
     return jax.jit(cycle)
+
+
+# ------------------------------------------------------------ ACER self-play
+
+
+def make_acer_rollout(cfg: EnvConfig, spec: MLPSpec, num_games: int, r_factor: float):
+    """Jitted ``(params, key) -> (seq_batch, scores[G, P])`` self-play.
+
+    Plays G games with the actor-critic sampling policy (categorical over the
+    legal-slot log-probs, exactly the interactive agent's ``forward``) and
+    returns one padded ACER sequence per seat: leaves ``[G*P, T, ...]`` with
+    the fields :func:`rl6nimmt_tpu.agents.acer.make_acer_train_step` expects.
+    A full episode is exactly ``max_turns`` steps, so every sequence is one
+    whole episode (= the reference's ``rollout_len=10`` flush cadence with
+    episode ends aligned, actor_critic.py:145-150).  As in the reference,
+    the *current* step's reward is stored (no lag, actor_critic.py:136-144).
+    """
+    from ..agents.acer import actor_critic_heads
+
+    deal_batch = jax.vmap(functools.partial(deal, cfg))
+    step_batch = jax.vmap(functools.partial(step, cfg))
+    observe_batch = jax.vmap(functools.partial(observe, cfg))
+    heads = jax.vmap(
+        jax.vmap(lambda params, o, h: actor_critic_heads(spec, params, o, h),
+                 in_axes=(None, 0, 0)),
+        in_axes=(None, 0, 0),
+    )
+
+    def rollout(params, key):
+        key, deal_key = jax.random.split(key)
+        state = deal_batch(jax.random.split(deal_key, num_games))
+
+        def turn(carry, t):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            obs, _ = observe_batch(state)
+            hands = state.hands_sorted
+            log_probs, _ = heads(params, obs, hands)
+            logits = jnp.where(hands >= 0, log_probs, -jnp.inf)
+            idx = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+            actions = onehot_select(hands, idx)
+            state, rewards = step_batch(state, actions.astype(jnp.int32))
+            rec = {
+                "state": obs,                              # [G, P, S]
+                "legal_cards": hands,                      # [G, P, H]
+                "log_probs": log_probs,                    # [G, P, H]
+                "action_id": idx,                          # [G, P]
+                "reward": rewards.astype(jnp.float32) * r_factor,
+                "done": jnp.broadcast_to(
+                    (t == cfg.max_turns - 1).astype(jnp.float32),
+                    rewards.shape,
+                ),
+            }
+            return (state, key), rec
+
+        (state, _), traj = lax.scan(turn, (state, key), jnp.arange(cfg.max_turns))
+        # [T, G, P, ...] -> [G*P, T, ...] sequences.
+        fold = lambda x: jnp.moveaxis(x, 0, 1).reshape(
+            (num_games * cfg.num_players, cfg.max_turns) + x.shape[3:]
+        )
+        seqs = {k: fold(v) for k, v in traj.items()}
+        seqs["length"] = jnp.full(
+            (num_games * cfg.num_players,), cfg.max_turns, jnp.int32
+        )
+        return seqs, -state.scores
+
+    return rollout
+
+
+def make_acer_selfplay_step(
+    cfg: EnvConfig,
+    spec: MLPSpec,
+    optimizer: optax.GradientTransformation,
+    num_games: int,
+    gamma: float = 0.99,
+    r_factor: float = 0.1,
+    truncate: float = 1.0,
+    minibatch: int = 64,
+    actor_weight: float = 1.0,
+    critic_weight: float = 1.0,
+):
+    """Fused ACER self-play cycle: rollout + sequence-buffer fill + updates.
+
+    The vectorized analog of the interactive agent's learn cadence
+    (actor_critic.py:145-155): one call plays G games, flushes all ``G*P``
+    episode sequences into the device sequence buffer, then runs one
+    ON-policy update on the fresh sequences and one OFF-policy update on a
+    uniform ``minibatch`` of stored sequences -- the same two-phase scheme,
+    scaled from 1 sequence to thousands per phase.
+
+    Signature: ``(params, opt_state, buf, key) -> (params, opt_state, buf,
+    metrics)`` where ``buf`` comes from ``seq_init(capacity, max_turns,
+    example)``.
+    """
+    from ..agents.acer import make_acer_train_step
+    from ..buffers.sequence import seq_sample, seq_store_batch
+
+    rollout = make_acer_rollout(cfg, spec, num_games, r_factor)
+    train = make_acer_train_step(
+        spec, optimizer, gamma, truncate, actor_weight, critic_weight
+    )
+
+    def cycle(params, opt_state, buf, key):
+        roll_key, sample_key = jax.random.split(key)
+        seqs, scores = rollout(params, roll_key)
+        buf = seq_store_batch(
+            buf, {k: v for k, v in seqs.items() if k != "length"}, seqs["length"]
+        )
+        # On-policy: the fresh rollout itself.
+        params, opt_state, on_losses = train(params, opt_state, seqs)
+        # Off-policy: uniform replay of stored sequences.
+        _, batch, lengths = seq_sample(buf, sample_key, minibatch)
+        batch = dict(batch, length=lengths)
+        params, opt_state, off_losses = train(params, opt_state, batch)
+        metrics = {
+            "actor_loss": on_losses[0],
+            "correction_loss": on_losses[1],
+            "critic_loss": on_losses[2],
+            "off_actor_loss": off_losses[0],
+            "off_critic_loss": off_losses[2],
+            "mean_score": jnp.mean(scores.astype(jnp.float32)),
+        }
+        return params, opt_state, buf, metrics
+
+    return jax.jit(cycle)

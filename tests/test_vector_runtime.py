@@ -221,3 +221,64 @@ def test_dp_dqn_step_on_2level_mesh():
     )
     assert np.isfinite(float(metrics["loss"]))
     assert int(np.asarray(buf.size).sum()) == mesh.size * 2 * 4 * 10
+
+
+def test_acer_selfplay_step():
+    """Vectorized ACER: rollout fills the sequence buffer; both updates run."""
+    import jax
+    from rl6nimmt_tpu.buffers import seq_init
+    from rl6nimmt_tpu.runtime.vector import make_acer_selfplay_step
+
+    G = 8
+    spec = MLPSpec(input_size=1 + CFG.state_length, head_sizes=(1, 1))
+    params = mlp_init(jax.random.key(20), spec)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    example = {
+        "state": jnp.zeros(CFG.state_length),
+        "legal_cards": jnp.zeros(10, jnp.int32),
+        "log_probs": jnp.zeros(10),
+        "action_id": jnp.zeros((), jnp.int32),
+        "reward": jnp.zeros(()),
+        "done": jnp.zeros(()),
+    }
+    buf = seq_init(256, CFG.max_turns, example)
+    cycle = make_acer_selfplay_step(CFG, spec, optimizer, G, minibatch=16)
+
+    key = jax.random.key(21)
+    for i in range(2):
+        key, sub = jax.random.split(key)
+        params, opt_state, buf, metrics = cycle(params, opt_state, buf, sub)
+        for name, v in metrics.items():
+            assert np.isfinite(float(np.asarray(v))), name
+    assert int(buf.size) == 2 * G * CFG.num_players
+    # Self-play scores are strictly negative penalties on average.
+    assert float(np.asarray(metrics["mean_score"])) < 0
+
+
+def test_acer_selfplay_matches_agent_math_on_policy():
+    """First-cycle on-policy actor loss ~ 0 momentum: behavior == current
+    policy at rollout time, so rho == 1 and the correction term vanishes
+    (truncate=1 -> coeff max(1 - 1/rho, 0) = 0)."""
+    import jax
+    from rl6nimmt_tpu.buffers import seq_init
+    from rl6nimmt_tpu.runtime.vector import make_acer_selfplay_step
+
+    G = 4
+    spec = MLPSpec(input_size=1 + CFG.state_length, head_sizes=(1, 1))
+    params = mlp_init(jax.random.key(30), spec)
+    optimizer = optax.sgd(0.0)  # freeze params: inspect the losses only
+    opt_state = optimizer.init(params)
+    example = {
+        "state": jnp.zeros(CFG.state_length),
+        "legal_cards": jnp.zeros(10, jnp.int32),
+        "log_probs": jnp.zeros(10),
+        "action_id": jnp.zeros((), jnp.int32),
+        "reward": jnp.zeros(()),
+        "done": jnp.zeros(()),
+    }
+    buf = seq_init(64, CFG.max_turns, example)
+    cycle = make_acer_selfplay_step(CFG, spec, optimizer, G, minibatch=8)
+    _, _, _, metrics = cycle(params, opt_state, buf, jax.random.key(31))
+    # rho == 1 exactly on-policy: the bias-correction term must be 0.
+    assert abs(float(np.asarray(metrics["correction_loss"]))) < 1e-5
