@@ -3,6 +3,7 @@ from .mesh import (
     GAMES_AXIS,
     ICI_AXIS,
     game_sharding,
+    make_dp_acer_step,
     make_dp_dqn_step,
     make_dp_reinforce_step,
     make_mesh,
@@ -17,6 +18,7 @@ __all__ = [
     "GAMES_AXIS",
     "ICI_AXIS",
     "game_sharding",
+    "make_dp_acer_step",
     "make_dp_dqn_step",
     "make_dp_reinforce_step",
     "make_mesh",

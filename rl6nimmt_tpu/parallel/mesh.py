@@ -189,3 +189,50 @@ def make_dp_dqn_step(
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def make_dp_acer_step(
+    cfg: EnvConfig,
+    spec: MLPSpec,
+    optimizer: optax.GradientTransformation,
+    games_per_device: int,
+    mesh: Mesh,
+    axis=None,
+    **acer_kwargs,
+):
+    """Data-parallel ACER self-play cycle over a device mesh.
+
+    Mirrors :func:`make_dp_dqn_step`'s scheme for stateful learners: every
+    device keeps its own sequence buffer (lift one with
+    :func:`stack_for_mesh`), plays and replays locally, and the updated
+    params/opt-state are pmean-averaged to stay replicated.  Signature:
+    ``(params, opt_state, stacked_buf, keys) -> (params, opt_state,
+    stacked_buf, metrics)``.
+    """
+    from ..runtime.vector import make_acer_selfplay_step
+
+    if axis is None:
+        axis = mesh_axes(mesh) if len(mesh.axis_names) > 1 else mesh.axis_names[0]
+    inner = make_acer_selfplay_step(
+        cfg, spec, optimizer, games_per_device, **acer_kwargs
+    )
+
+    def sharded(params, opt_state, buf, keys):
+        local_buf = jax.tree.map(lambda x: x[0], buf)
+        params, opt_state, local_buf, metrics = inner(
+            params, opt_state, local_buf, keys[0]
+        )
+        buf = jax.tree.map(lambda x: x[None], local_buf)
+        params = jax.tree.map(lambda x: jax.lax.pmean(x, axis), params)
+        opt_state = jax.tree.map(lambda x: jax.lax.pmean(x, axis), opt_state)
+        metrics = jax.tree.map(lambda x: jax.lax.pmean(x, axis), metrics)
+        return params, opt_state, buf, metrics
+
+    mapped = shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

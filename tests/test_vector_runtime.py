@@ -282,3 +282,30 @@ def test_acer_selfplay_matches_agent_math_on_policy():
     _, _, _, metrics = cycle(params, opt_state, buf, jax.random.key(31))
     # rho == 1 exactly on-policy: the bias-correction term must be 0.
     assert abs(float(np.asarray(metrics["correction_loss"]))) < 1e-5
+
+
+def test_dp_acer_step_on_mesh():
+    import jax
+    from rl6nimmt_tpu.buffers import seq_init
+    from rl6nimmt_tpu.parallel import make_dp_acer_step
+
+    mesh = make_mesh()
+    spec = MLPSpec(input_size=1 + CFG.state_length, hidden_sizes=(16,), head_sizes=(1, 1))
+    params = mlp_init(jax.random.key(40), spec)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    example = {
+        "state": jnp.zeros(CFG.state_length),
+        "legal_cards": jnp.zeros(10, jnp.int32),
+        "log_probs": jnp.zeros(10),
+        "action_id": jnp.zeros((), jnp.int32),
+        "reward": jnp.zeros(()),
+        "done": jnp.zeros(()),
+    }
+    buf = stack_for_mesh(seq_init(64, CFG.max_turns, example), mesh)
+    step = make_dp_acer_step(CFG, spec, optimizer, games_per_device=2, mesh=mesh,
+                             minibatch=8)
+    keys = jax.random.split(jax.random.key(41), mesh.size)
+    params, opt_state, buf, metrics = step(params, opt_state, buf, keys)
+    assert np.isfinite(float(np.asarray(metrics["critic_loss"])))
+    assert int(np.asarray(buf.size).sum()) == mesh.size * 2 * CFG.num_players
