@@ -28,19 +28,34 @@ rl6nimmt_tpu.enable_compilation_cache()
 import numpy as np
 
 
+def _win_rate_from(scores) -> float:
+    best = scores.max(axis=1, keepdims=True)
+    winners = scores == best
+    # Midrank ties like the tournament: a tied win counts fractionally.
+    return float((winners[:, 0] / winners.sum(axis=1)).mean())
+
+
 def eval_win_rate(params, seed: int, num_games: int = 2048) -> float:
-    """Learner (seat 0, greedy-sampled policy) vs three DrunkHamsters."""
+    """Learner seat 0 (stochastic sampling policy, as it acts while training)
+    vs three DrunkHamsters."""
     from rl6nimmt_tpu.agents import BatchedReinforceAgent, DrunkHamster
     from rl6nimmt_tpu.runtime.arena import play_match
 
     agent = BatchedReinforceAgent(seed=seed)
     agent.set_parameters(agent.host_put(params))
     opponents = [DrunkHamster(seed=seed + i + 1) for i in range(3)]
-    scores = play_match([agent] + opponents, num_games=num_games, seed=seed)
-    best = scores.max(axis=1, keepdims=True)
-    winners = scores == best
-    # Midrank ties like the tournament: a tied win counts fractionally.
-    return float((winners[:, 0] / winners.sum(axis=1)).mean())
+    return _win_rate_from(play_match([agent] + opponents, num_games=num_games, seed=seed))
+
+
+def eval_win_rate_dqn(params, seed: int, num_games: int = 2048) -> float:
+    """Noisy-D3QN seat 0 (argmax over mean net) vs three DrunkHamsters."""
+    from rl6nimmt_tpu.agents import DrunkHamster, Noisy_D3QN_PRB_NStep
+    from rl6nimmt_tpu.runtime.arena import play_match
+
+    agent = Noisy_D3QN_PRB_NStep(n_steps=3, seed=seed)
+    agent.set_parameters(agent.host_put(params))
+    opponents = [DrunkHamster(seed=seed + i + 1) for i in range(3)]
+    return _win_rate_from(play_match([agent] + opponents, num_games=num_games, seed=seed))
 
 
 def main(argv=None):
@@ -82,14 +97,17 @@ def main(argv=None):
             cfg, spec, optimizer, args.games, entropy_weight=args.entropy
         )
 
-        # Fixed-size chunked scan (one compile); eval at log-spaced marks
-        # rounded to chunk boundaries.
+        # Fixed-size chunked scan (one compile).  --eval-every N evaluates
+        # every N updates; default is 8 log-spaced marks rounded to chunks.
         chunk = max(args.eval_every or args.updates // 64, 1)
         total = (args.updates // chunk) * chunk
-        marks = sorted(
-            {((int(total ** (i / 7)) + chunk - 1) // chunk) * chunk for i in range(8)}
-            | {total}
-        )
+        if args.eval_every:
+            marks = list(range(chunk, total + 1, chunk))
+        else:
+            marks = sorted(
+                {((int(total ** (i / 7)) + chunk - 1) // chunk) * chunk for i in range(8)}
+                | {total}
+            )
 
         @jax.jit
         def run_chunk(params, opt_state, keys):
@@ -148,6 +166,9 @@ def main(argv=None):
         )
         key = jax.random.key(args.seed + 1)
         evals = max(args.cycles // 10, 1)
+        wr0 = eval_win_rate_dqn(params, args.seed)
+        history.append({"cycles": 0, "win_rate": wr0, "loss": None})
+        print(f"cycle {0:>5}  win_rate {wr0:.3f}")
         for i in range(args.cycles):
             key, sub = jax.random.split(key)
             eps = max(np.exp(-0.0025 * i), 0.05)
@@ -156,8 +177,9 @@ def main(argv=None):
             )
             if i % evals == 0 or i == args.cycles - 1:
                 loss = float(np.asarray(metrics["loss"]))
-                history.append({"cycles": i + 1, "loss": loss})
-                print(f"cycle {i:>5}  loss {loss:.4f}  eps {eps:.3f}")
+                wr = eval_win_rate_dqn(params, args.seed)
+                history.append({"cycles": i + 1, "win_rate": wr, "loss": loss})
+                print(f"cycle {i:>5}  win_rate {wr:.3f}  loss {loss:.4f}  eps {eps:.3f}")
         save_params(str(out / "dqn_params.npz"), params)
 
     (out / f"{args.algo}_history.json").write_text(json.dumps(history, indent=1))

@@ -106,10 +106,21 @@ def main(argv=None):
             "reward": jnp.zeros(()),
             "done": jnp.zeros(()),
         }
-        buf = seq_init(args.buffer, cfg.max_turns, example)
-        cycle = make_acer_selfplay_step(
-            cfg, spec, optimizer, args.games, minibatch=args.minibatch
-        )
+        if args.dp:
+            from rl6nimmt_tpu.parallel import make_dp_acer_step, make_mesh, stack_for_mesh
+
+            mesh = make_mesh()
+            buf = stack_for_mesh(seq_init(args.buffer, cfg.max_turns, example), mesh)
+            dp_cycle = make_dp_acer_step(
+                cfg, spec, optimizer, max(args.games // mesh.size, 1), mesh,
+                minibatch=args.minibatch,
+            )
+            cycle = lambda p, o, b, k: dp_cycle(p, o, b, jax.random.split(k, mesh.size))
+        else:
+            buf = seq_init(args.buffer, cfg.max_turns, example)
+            cycle = make_acer_selfplay_step(
+                cfg, spec, optimizer, args.games, minibatch=args.minibatch
+            )
         key = jax.random.key(args.seed + 1)
         start = time.perf_counter()
         for i in range(args.steps):

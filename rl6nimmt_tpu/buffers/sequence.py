@@ -80,6 +80,8 @@ def seq_store_batch(state: SeqState, seqs: Any, lengths: jnp.ndarray) -> SeqStat
     """
     cap = seq_capacity(state)
     B = lengths.shape[0]
+    if B > cap:  # duplicate scatter indices would corrupt slots silently
+        raise ValueError(f"batch of {B} sequences exceeds buffer capacity {cap}")
     idx = (state.ptr + jnp.arange(B, dtype=jnp.int32)) % cap
     storage = jax.tree.map(
         lambda buf, batch: buf.at[idx].set(batch), state.storage, seqs

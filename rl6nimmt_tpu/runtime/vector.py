@@ -357,7 +357,10 @@ def make_reinforce_train_step(
 
         def total_loss(p):
             # Fold [T, G, P, ...] -> [G*P, T, ...] episodes.
-            fold = lambda x: jnp.moveaxis(x, 0, 1).reshape(
+            # [T, G, P, ...] -> [G, P, T, ...] -> [G*P, T, ...]: each row
+            # must be ONE seat's episode in time order (moveaxis to the
+            # *third* slot; 0->1 would interleave seats within rows).
+            fold = lambda x: jnp.moveaxis(x, 0, 2).reshape(
                 (num_games * cfg.num_players, cfg.max_turns) + x.shape[3:]
             )
             losses = jax.vmap(lambda o, c, a, r: episode_loss(p, o, c, a, r))(
@@ -590,8 +593,9 @@ def make_acer_rollout(cfg: EnvConfig, spec: MLPSpec, num_games: int, r_factor: f
             return (state, key), rec
 
         (state, _), traj = lax.scan(turn, (state, key), jnp.arange(cfg.max_turns))
-        # [T, G, P, ...] -> [G*P, T, ...] sequences.
-        fold = lambda x: jnp.moveaxis(x, 0, 1).reshape(
+        # [T, G, P, ...] -> [G, P, T, ...] -> [G*P, T, ...]: one seat's
+        # whole episode per row, in time order.
+        fold = lambda x: jnp.moveaxis(x, 0, 2).reshape(
             (num_games * cfg.num_players, cfg.max_turns) + x.shape[3:]
         )
         seqs = {k: fold(v) for k, v in traj.items()}

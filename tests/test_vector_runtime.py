@@ -309,3 +309,58 @@ def test_dp_acer_step_on_mesh():
     params, opt_state, buf, metrics = step(params, opt_state, buf, keys)
     assert np.isfinite(float(np.asarray(metrics["critic_loss"])))
     assert int(np.asarray(buf.size).sum()) == mesh.size * 2 * CFG.num_players
+
+
+def test_acer_rollout_folds_one_seat_per_sequence():
+    """Regression: each folded sequence = ONE seat's episode in time order.
+
+    The [T, G, P] -> [G*P, T] fold must put seat (g, p) at row g*P + p with
+    time running along the row; a wrong moveaxis interleaves seats and puts
+    done flags mid-row.
+    """
+    import jax
+    from rl6nimmt_tpu.runtime.vector import make_acer_rollout
+
+    G = 4
+    spec = MLPSpec(input_size=1 + CFG.state_length, hidden_sizes=(16,), head_sizes=(1, 1))
+    params = mlp_init(jax.random.key(50), spec)
+    rollout = jax.jit(make_acer_rollout(CFG, spec, G, r_factor=1.0))
+    seqs, scores = rollout(params, jax.random.key(51))
+
+    done = np.asarray(seqs["done"])        # [G*P, T]
+    T = CFG.max_turns
+    # Every row ends with exactly one done=1 at the last step.
+    assert np.array_equal(done[:, :-1], np.zeros((G * CFG.num_players, T - 1))), done
+    assert np.array_equal(done[:, -1], np.ones(G * CFG.num_players))
+    # Row g*P+p's summed rewards equal seat (g, p)'s final score.
+    rewards = np.asarray(seqs["reward"]).reshape(G, CFG.num_players, T)
+    np.testing.assert_allclose(rewards.sum(axis=2), np.asarray(scores), atol=1e-5)
+    # Legal-card counts shrink by one per step along each row (time order).
+    legal = (np.asarray(seqs["legal_cards"]) >= 0).sum(axis=2)  # [G*P, T]
+    assert np.array_equal(legal, np.tile(np.arange(T, 0, -1), (G * CFG.num_players, 1)))
+
+
+def test_reinforce_fold_time_order():
+    """Regression: the REINFORCE loss fold sees per-seat episodes too."""
+    import jax
+    from rl6nimmt_tpu.runtime.vector import make_reinforce_rollout
+
+    G = 3
+    spec = reinforce_spec()
+    params = mlp_init(jax.random.key(52), spec)
+    rollout = jax.jit(make_reinforce_rollout(CFG, spec, G))
+    traj, scores = rollout(params, jax.random.key(53))
+
+    # Replicate the train step's fold and check row semantics.
+    fold = lambda x: jnp.moveaxis(x, 0, 2).reshape(
+        (G * CFG.num_players, CFG.max_turns) + x.shape[3:]
+    )
+    rewards = np.asarray(fold(traj.reward))
+    np.testing.assert_allclose(
+        rewards.reshape(G, CFG.num_players, CFG.max_turns).sum(axis=2),
+        np.asarray(scores), atol=1e-5,
+    )
+    legal = (np.asarray(fold(traj.legal_cards)) >= 0).sum(axis=2)
+    assert np.array_equal(
+        legal, np.tile(np.arange(CFG.max_turns, 0, -1), (G * CFG.num_players, 1))
+    )
