@@ -1,0 +1,132 @@
+"""Golden parity against the ACTUAL reference implementation.
+
+Unlike test_engine_parity.py (which diffs the engine against this repo's
+independent NumPy transcription of the rules), these tests load the real
+``/root/reference/rl_6_nimmt/env.py`` and play identical games step by step:
+same deck (via ``parity.reference_deck``'s RNG-stream replay of the global
+``np.random.shuffle`` deal, env.py:99-112), same actions, and assert
+bit-exact states, legal hands, rewards, and termination every step.
+
+The reference depends on ``gym`` only for the ``Env`` base class and two
+space constructors (env.py:34-38); a minimal stub satisfies that so the
+original module runs unmodified.  Skipped when the reference checkout is
+absent.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_ENV = "/root/reference/rl_6_nimmt/env.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_ENV), reason="reference checkout not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_module():
+    if "gym" not in sys.modules:
+        gym = types.ModuleType("gym")
+
+        class Env:  # the reference only subclasses it
+            pass
+
+        class _Space:
+            def __init__(self, *args, **kwargs):
+                pass
+
+        spaces = types.ModuleType("gym.spaces")
+        spaces.Discrete = _Space
+        spaces.Box = _Space
+        gym.Env = Env
+        gym.spaces = spaces
+        sys.modules["gym"] = gym
+        sys.modules["gym.spaces"] = spaces
+    spec = importlib.util.spec_from_file_location("_golden_ref_env", REF_ENV)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("num_players", [2, 4])
+@pytest.mark.parametrize("seed", [3, 1234])
+def test_full_game_bit_exact_vs_reference(ref_module, num_players, seed):
+    from rl6nimmt_tpu.engine import SechsNimmtEnv
+    from rl6nimmt_tpu.parity import reference_deck
+
+    deck = reference_deck(seed=seed)
+    np.random.seed(seed)
+    ref = ref_module.SechsNimmtEnv(num_players)
+    ref_states, ref_legal = ref.reset()
+
+    ours = SechsNimmtEnv(num_players, verbose=False)
+    our_states, our_legal = ours.reset_with_deck(deck)
+
+    picker = np.random.RandomState(seed + 1)
+    done = False
+    turn = 0
+    while not done:
+        np.testing.assert_array_equal(
+            np.asarray(our_states), np.asarray(ref_states),
+            err_msg=f"states diverged at turn {turn}",
+        )
+        assert [list(h) for h in our_legal] == [list(h) for h in ref_legal], turn
+
+        actions = [int(h[picker.randint(len(h))]) for h in ref_legal]
+        (ref_states, ref_legal), ref_rewards, ref_done, _ = ref.step(list(actions))
+        (our_states, our_legal), our_rewards, our_done, _ = ours.step(list(actions))
+
+        np.testing.assert_array_equal(
+            np.asarray(our_rewards), np.asarray(ref_rewards),
+            err_msg=f"rewards diverged at turn {turn}",
+        )
+        assert bool(our_done) == bool(ref_done), turn
+        done = ref_done
+        turn += 1
+    assert turn == 10
+
+
+def test_reset_to_midgame_matches_reference(ref_module):
+    """reset_to parity: seed both envs from the same mid-game position."""
+    from rl6nimmt_tpu.engine import SechsNimmtEnv
+
+    board = [[23, 40], [1], [88, 90, 95], [52]]
+    hands = [[0, 7, 99], [13, 61, 103]]
+
+    ref = ref_module.SechsNimmtEnv(2)
+    ref_states, ref_legal = ref.reset_to([list(r) for r in board], [list(h) for h in hands])
+    ours = SechsNimmtEnv(2, verbose=False)
+    our_states, our_legal = ours.reset_to(board, hands)
+
+    np.testing.assert_array_equal(np.asarray(our_states), np.asarray(ref_states))
+    assert [list(h) for h in our_legal] == [list(h) for h in ref_legal]
+
+    actions = [99, 13]
+    (ref_states, _), ref_rewards, _, _ = ref.step(list(actions))
+    (our_states, _), our_rewards, _, _ = ours.step(list(actions))
+    np.testing.assert_array_equal(np.asarray(our_rewards), np.asarray(ref_rewards))
+    np.testing.assert_array_equal(np.asarray(our_states), np.asarray(ref_states))
+
+
+def test_illegal_move_raises_like_reference(ref_module):
+    from rl6nimmt_tpu.engine import SechsNimmtEnv
+    from rl6nimmt_tpu.engine.wrapper import InvalidMoveException
+    from rl6nimmt_tpu.parity import reference_deck
+
+    deck = reference_deck(seed=99)
+    np.random.seed(99)
+    ref = ref_module.SechsNimmtEnv(2)
+    _, ref_legal = ref.reset()
+    ours = SechsNimmtEnv(2, verbose=False)
+    _, our_legal = ours.reset_with_deck(deck)
+
+    bad = next(c for c in range(104) if c not in ref_legal[0])
+    with pytest.raises(ref_module.InvalidMoveException):
+        ref.step([bad, int(ref_legal[1][0])])
+    with pytest.raises(InvalidMoveException):
+        ours.step([bad, int(our_legal[1][0])])
