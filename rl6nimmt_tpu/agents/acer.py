@@ -34,7 +34,7 @@ import optax
 
 from ..buffers.host import HostHistory
 from ..nets import MLPSpec, mlp_init
-from .base import Agent
+from .base import Agent, pad_cards
 
 LOG_EPSILON = -20.0
 
@@ -122,9 +122,7 @@ class BatchedActionValueActorCriticAgent(Agent):
         self.params = params
 
     def _pad_cards(self, legal_actions) -> np.ndarray:
-        padded = np.full(self.max_num_actions, -1, dtype=np.int32)
-        padded[: len(legal_actions)] = legal_actions
-        return padded
+        return pad_cards(legal_actions, self.max_num_actions)
 
     def forward(self, state, legal_actions, **kwargs):
         state = jnp.asarray(state, jnp.float32)

@@ -30,6 +30,19 @@ from ..engine.state import EnvConfig
 DEFAULT_ENV_CONFIG = EnvConfig(num_players=4)
 
 
+def pad_cards(legal_actions, width: int) -> "np.ndarray":
+    """Legal-card list -> fixed-width int32 vector padded with -1.
+
+    The padding convention shared by every action-in-input agent and the
+    search agents' step records (pad value -1 marks illegal slots).
+    """
+    import numpy as np
+
+    padded = np.full(width, -1, dtype=np.int32)
+    padded[: len(legal_actions)] = legal_actions
+    return padded
+
+
 class Agent:
     """Base class for host-path agents."""
 

@@ -39,7 +39,7 @@ import optax
 
 from ..engine.state import EnvConfig
 from ..nets import MLPSpec, mlp_init
-from .base import Agent
+from .base import Agent, pad_cards
 from .reinforce import action_in_input_logits
 from .search import build_root_state, make_playout_fn
 
@@ -189,8 +189,7 @@ class BaseMCAgent(Agent):
         raise NotImplementedError
 
     def _record(self, state, legal_actions, chosen_idx):
-        padded = np.full(self.handsize, -1, dtype=np.int32)
-        padded[: len(legal_actions)] = legal_actions
+        padded = pad_cards(legal_actions, self.handsize)
         return {
             "state": np.asarray(state, np.float32),
             "legal_cards": padded,
@@ -267,8 +266,7 @@ class PolicyMCSAgent(BaseMCAgent):
         return staged
 
     def _root_log_probs(self, state, legal_actions):
-        padded = np.full(self.handsize, -1, dtype=np.int32)
-        padded[: len(legal_actions)] = legal_actions
+        padded = pad_cards(legal_actions, self.handsize)
         logp = np.asarray(
             self._root_fn(self.params, jnp.asarray(state, jnp.float32), jnp.asarray(padded))
         )
@@ -289,6 +287,8 @@ class PolicyMCSAgent(BaseMCAgent):
             {**kwargs["step_record"], "reward": np.float32(reward * self.r_factor)}
         )
         if not episode_end or not self.training:
+            if episode_end:
+                self._episode = []  # eval mode: never accumulate across games
             return 0.0
         batch = {
             k: jnp.asarray(np.stack([rec[k] for rec in self._episode]))
@@ -345,7 +345,14 @@ class PUCTAgent(PolicyMCSAgent):
         q = np.asarray(
             [np.mean(outcomes[a]) if outcomes[a] else mid_r for a in legal_actions]
         )
-        q = np.clip((q - min_r) / (max_r - min_r), 0.0, 1.0)
+        if max_r == min_r:
+            # All observed outcomes equal: the reference's (q-min)/(max-min)
+            # is 0/0 -> NaN and argmax silently degenerates to index 0
+            # (mcts.py:276-302).  Controlled deviation (PARITY.md): treat all
+            # moves as mid-value so exploration falls to the prior term.
+            q = np.full_like(q, 0.5)
+        else:
+            q = np.clip((q - min_r) / (max_r - min_r), 0.0, 1.0)
         return q + self.c_puct * probs * (n_total + 1e-9) ** 0.5 / (1.0 + counts)
 
     @staticmethod
@@ -396,8 +403,7 @@ class PUCTCustomedAgent(PUCTAgent):
         return action, info
 
     def _nn_choice(self, state, legal_actions):
-        padded = np.full(self.handsize, -1, dtype=np.int32)
-        padded[: len(legal_actions)] = legal_actions
+        padded = pad_cards(legal_actions, self.handsize)
         logp, values = self._pv_fn(
             self.params, jnp.asarray(state, jnp.float32), jnp.asarray(padded)
         )
@@ -416,6 +422,8 @@ class PUCTCustomedAgent(PUCTAgent):
             {**kwargs["step_record"], "reward": np.float32(reward * self.r_factor)}
         )
         if not episode_end or not self.training:
+            if episode_end:
+                self._episode = []  # eval mode: never accumulate across games
             return 0.0
         batch = {
             k: jnp.asarray(np.stack([rec[k] for rec in self._episode]))

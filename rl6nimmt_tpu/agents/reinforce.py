@@ -35,7 +35,7 @@ import optax
 
 from ..nets import MLPSpec, mlp_apply, mlp_init, normalize_state
 from ..utils.returns import discounted_returns
-from .base import Agent
+from .base import Agent, pad_cards
 
 NEG_INF = -1e9
 
@@ -177,6 +177,8 @@ class _ReinforceBase(Agent):
             {**kwargs["step_record"], "reward": np.float32(reward * self.r_factor)}
         )
         if not episode_end or not self.training:
+            if episode_end:
+                self._episode = []  # eval mode: never accumulate across games
             return np.zeros(3)
 
         batch = {
@@ -247,8 +249,7 @@ class BatchedReinforceAgent(_ReinforceBase):
     def forward(self, state, legal_actions, **kwargs):
         state = jnp.asarray(state, jnp.float32)
         H = self.env_config.hand_size
-        padded = np.full(H, -1, dtype=np.int32)
-        padded[: len(legal_actions)] = legal_actions
+        padded = pad_cards(legal_actions, H)
         logits = action_in_input_logits(self.spec, self.params, state, jnp.asarray(padded))
         idx = int(jax.random.categorical(self.next_key(), logits))
         logp, entropy = log_probs_and_entropy(logits)

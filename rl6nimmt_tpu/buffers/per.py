@@ -82,6 +82,8 @@ def per_add_batch(state: PERState, items: Any) -> PERState:
     """Batch insert, all at the current max priority."""
     n = jax.tree.leaves(items)[0].shape[0]
     cap = per_capacity(state)
+    if n > cap:  # duplicate scatter indices would drop transitions silently
+        raise ValueError(f"batch of {n} transitions exceeds buffer capacity {cap}")
     max_p = jnp.max(state.priorities)
     priority = jnp.where(max_p == 0.0, ABS_ERROR_UPPER, max_p)
     idx = (state.ptr + jnp.arange(n)) % cap

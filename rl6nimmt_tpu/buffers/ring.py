@@ -51,6 +51,8 @@ def ring_add_batch(state: RingState, items: Any) -> RingState:
     """Store a leading-axis batch of transitions (wrapping scatter)."""
     n = jax.tree.leaves(items)[0].shape[0]
     cap = ring_capacity(state)
+    if n > cap:  # duplicate scatter indices would drop transitions silently
+        raise ValueError(f"batch of {n} transitions exceeds buffer capacity {cap}")
     idx = (state.ptr + jnp.arange(n)) % cap
     storage = jax.tree.map(lambda buf, x: buf.at[idx].set(x), state.storage, items)
     return RingState(

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..engine.state import EnvConfig
-from .step_kernel import LANES, SUBLANES, TILE, _card_points
+from .step_kernel import LANES, SUBLANES, TILE, _apply_subplay, _card_points
 
 
 def _seed_hash(seed):
@@ -204,61 +204,7 @@ def _play_turns(cfg: EnvConfig, board, row_len, hands, reward_out, checksum_out)
 
         # --------------------------- resolve the P sub-plays ----------------
         for i in range(P):
-            card, player = cards[i], players[i]
-
-            lasts, points = [], []
-            for r in range(R):
-                last = jnp.zeros_like(card)
-                pts = jnp.zeros_like(card)
-                for s in range(T):
-                    cell = board[r * T + s]
-                    last = jnp.where(s == row_len[r] - 1, cell, last)
-                    pts = pts + jnp.where(s < row_len[r], _card_points(cell), 0)
-                lasts.append(last)
-                points.append(pts)
-
-            best_last = jnp.full_like(card, -1)
-            target = jnp.zeros_like(card)
-            for r in range(R):
-                fit = lasts[r] < card
-                better = fit & (lasts[r] > best_last)
-                best_last = jnp.where(better, lasts[r], best_last)
-                target = jnp.where(better, r, target)
-            undercut = best_last < 0
-
-            cheapest_pts = points[0]
-            cheapest = jnp.zeros_like(card)
-            for r in range(1, R):
-                cheaper = points[r] < cheapest_pts
-                cheapest_pts = jnp.where(cheaper, points[r], cheapest_pts)
-                cheapest = jnp.where(cheaper, r, cheapest)
-            row = jnp.where(undercut, cheapest, target)
-
-            old_len = jnp.zeros_like(card)
-            old_pts = jnp.zeros_like(card)
-            for r in range(R):
-                sel = row == r
-                old_len = jnp.where(sel, row_len[r], old_len)
-                old_pts = jnp.where(sel, points[r], old_pts)
-            captures = undercut | (old_len + 1 >= T)
-
-            for r in range(R):
-                sel = row == r
-                for s in range(T):
-                    cell = board[r * T + s]
-                    cap_cell = jnp.where(s == 0, card, jnp.full_like(card, -1))
-                    app_cell = jnp.where(s == old_len, card, cell)
-                    board[r * T + s] = jnp.where(
-                        sel, jnp.where(captures, cap_cell, app_cell), cell
-                    )
-                row_len[r] = jnp.where(
-                    sel, jnp.where(captures, jnp.ones_like(old_len), old_len + 1),
-                    row_len[r],
-                )
-
-            penalty = jnp.where(captures, old_pts, 0)
-            for p in range(P):
-                rewards[p] = rewards[p] - jnp.where(player == p, penalty, 0)
+            _apply_subplay(cfg, board, row_len, rewards, cards[i], players[i])
 
     for p in range(P):
         reward_out[p] = rewards[p]

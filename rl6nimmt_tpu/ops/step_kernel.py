@@ -45,6 +45,76 @@ def _card_points(face_idx):
     return jnp.where(face_idx >= 0, pts, 0)
 
 
+
+def _apply_subplay(cfg: EnvConfig, board, row_len, rewards, card, player):
+    """Resolve ONE sub-play on tile-register state, shared by both kernels.
+
+    ``board`` (R*T tiles), ``row_len`` (R tiles) and ``rewards`` (P tiles)
+    are register lists mutated in place; ``card``/``player`` are tiles for
+    the sub-play being resolved.  Single source of truth for the rules-
+    critical resolution math (engine/env.py:_resolve semantics).
+    """
+    R, T, P = cfg.num_rows, cfg.threshold, cfg.num_players
+
+    # Last card and total points per row.
+    lasts, points = [], []
+    for r in range(R):
+        last = jnp.zeros_like(card)
+        pts = jnp.zeros_like(card)
+        for t in range(T):
+            cell = board[r * T + t]
+            filled = t < row_len[r]
+            last = jnp.where(t == row_len[r] - 1, cell, last)
+            pts = pts + jnp.where(filled, _card_points(cell), 0)
+        lasts.append(last)
+        points.append(pts)
+
+    # Row with the highest last card below the played card.
+    best_last = jnp.full_like(card, -1)
+    target = jnp.zeros_like(card)
+    for r in range(R):
+        fit = lasts[r] < card
+        better = fit & (lasts[r] > best_last)
+        best_last = jnp.where(better, lasts[r], best_last)
+        target = jnp.where(better, r, target)
+    undercut = best_last < 0
+
+    # Cheapest row (first-minimum tie-break) for undercut captures.
+    cheapest_pts = points[0]
+    cheapest = jnp.zeros_like(card)
+    for r in range(1, R):
+        cheaper = points[r] < cheapest_pts
+        cheapest_pts = jnp.where(cheaper, points[r], cheapest_pts)
+        cheapest = jnp.where(cheaper, r, cheapest)
+    row = jnp.where(undercut, cheapest, target)
+
+    old_len = jnp.zeros_like(card)
+    old_pts = jnp.zeros_like(card)
+    for r in range(R):
+        sel = row == r
+        old_len = jnp.where(sel, row_len[r], old_len)
+        old_pts = jnp.where(sel, points[r], old_pts)
+    captures = undercut | (old_len + 1 >= T)
+
+    # Board update: capture -> [card, -1, ...]; else append at old_len.
+    for r in range(R):
+        sel = row == r
+        for t in range(T):
+            cell = board[r * T + t]
+            cap_cell = jnp.where(t == 0, card, jnp.full_like(card, -1))
+            app_cell = jnp.where(t == old_len, card, cell)
+            board[r * T + t] = jnp.where(
+                sel, jnp.where(captures, cap_cell, app_cell), cell
+            )
+        row_len[r] = jnp.where(
+            sel, jnp.where(captures, jnp.ones_like(old_len), old_len + 1), row_len[r]
+        )
+
+    penalty = jnp.where(captures, old_pts, 0)
+    for p in range(P):
+        rewards[p] = rewards[p] - jnp.where(player == p, penalty, 0)
+
+
 def _turn_kernel(cfg: EnvConfig, cards_ref, order_ref, board_ref, len_ref,
                  board_out, len_out, reward_out):
     R, T, P = cfg.num_rows, cfg.threshold, cfg.num_players
@@ -55,66 +125,7 @@ def _turn_kernel(cfg: EnvConfig, cards_ref, order_ref, board_ref, len_ref,
     rewards = [jnp.zeros_like(row_len[0]) for _ in range(P)]
 
     for i in range(P):  # sub-plays in ascending card order
-        card = cards_ref[i]
-        player = order_ref[i]
-
-        # Last card and total points per row.
-        lasts, points = [], []
-        for r in range(R):
-            last = jnp.zeros_like(card)
-            pts = jnp.zeros_like(card)
-            for t in range(T):
-                cell = board[r * T + t]
-                filled = t < row_len[r]
-                last = jnp.where(t == row_len[r] - 1, cell, last)
-                pts = pts + jnp.where(filled, _card_points(cell), 0)
-            lasts.append(last)
-            points.append(pts)
-
-        # Row with the highest last card below the played card.
-        best_last = jnp.full_like(card, -1)
-        target = jnp.zeros_like(card)
-        for r in range(R):
-            fit = lasts[r] < card
-            better = fit & (lasts[r] > best_last)
-            best_last = jnp.where(better, lasts[r], best_last)
-            target = jnp.where(better, r, target)
-        undercut = best_last < 0
-
-        # Cheapest row (first-minimum tie-break) for undercut captures.
-        cheapest_pts = points[0]
-        cheapest = jnp.zeros_like(card)
-        for r in range(1, R):
-            cheaper = points[r] < cheapest_pts
-            cheapest_pts = jnp.where(cheaper, points[r], cheapest_pts)
-            cheapest = jnp.where(cheaper, r, cheapest)
-        row = jnp.where(undercut, cheapest, target)
-
-        old_len = jnp.zeros_like(card)
-        old_pts = jnp.zeros_like(card)
-        for r in range(R):
-            sel = row == r
-            old_len = jnp.where(sel, row_len[r], old_len)
-            old_pts = jnp.where(sel, points[r], old_pts)
-        captures = undercut | (old_len + 1 >= T)
-
-        # Board update: capture -> [card, -1, ...]; else append at old_len.
-        for r in range(R):
-            sel = row == r
-            for t in range(T):
-                cell = board[r * T + t]
-                cap_cell = jnp.where(t == 0, card, jnp.full_like(card, -1))
-                app_cell = jnp.where(t == old_len, card, cell)
-                board[r * T + t] = jnp.where(
-                    sel, jnp.where(captures, cap_cell, app_cell), cell
-                )
-            row_len[r] = jnp.where(
-                sel, jnp.where(captures, jnp.ones_like(old_len), old_len + 1), row_len[r]
-            )
-
-        penalty = jnp.where(captures, old_pts, 0)
-        for p in range(P):
-            rewards[p] = rewards[p] - jnp.where(player == p, penalty, 0)
+        _apply_subplay(cfg, board, row_len, rewards, cards_ref[i], order_ref[i])
 
     for i in range(R * T):
         board_out[i] = board[i]

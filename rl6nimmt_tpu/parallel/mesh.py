@@ -140,6 +140,22 @@ def stack_for_mesh(tree, mesh: Mesh):
     )
 
 
+
+def _pmean_floats(tree, axis):
+    """pmean float leaves only: integer leaves (e.g. Adam's step count) pass
+    through unchanged -- pmean true-divides and would silently cast them to
+    f32, changing the pytree dtype signature (recompile every call) and
+    breaking exact integer step counts.  Identical-per-device integer state
+    stays identical without reduction."""
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: jax.lax.pmean(x, axis)
+        if jnp.issubdtype(x.dtype, jnp.floating) or jnp.issubdtype(x.dtype, jnp.complexfloating)
+        else x,
+        tree,
+    )
+
 def make_dp_dqn_step(
     cfg: EnvConfig,
     dqn_cfg: DQNConfig,
@@ -174,11 +190,11 @@ def make_dp_dqn_step(
         # inside `inner` are local -- reduce the *parameter deltas* instead:
         # simplest correct scheme: pmean the updated params so every device
         # holds the same model (equivalent to averaging per-device updates).
-        params = jax.tree.map(lambda x: jax.lax.pmean(x, axis), params)
+        params = _pmean_floats(params, axis)
         if target_params is not None:
-            target_params = jax.tree.map(lambda x: jax.lax.pmean(x, axis), target_params)
-        opt_state = jax.tree.map(lambda x: jax.lax.pmean(x, axis), opt_state)
-        metrics = jax.tree.map(lambda x: jax.lax.pmean(x, axis), metrics)
+            target_params = _pmean_floats(target_params, axis)
+        opt_state = _pmean_floats(opt_state, axis)
+        metrics = _pmean_floats(metrics, axis)
         return params, target_params, opt_state, buf, metrics
 
     mapped = shard_map(
@@ -223,9 +239,9 @@ def make_dp_acer_step(
             params, opt_state, local_buf, keys[0]
         )
         buf = jax.tree.map(lambda x: x[None], local_buf)
-        params = jax.tree.map(lambda x: jax.lax.pmean(x, axis), params)
-        opt_state = jax.tree.map(lambda x: jax.lax.pmean(x, axis), opt_state)
-        metrics = jax.tree.map(lambda x: jax.lax.pmean(x, axis), metrics)
+        params = _pmean_floats(params, axis)
+        opt_state = _pmean_floats(opt_state, axis)
+        metrics = _pmean_floats(metrics, axis)
         return params, opt_state, buf, metrics
 
     mapped = shard_map(

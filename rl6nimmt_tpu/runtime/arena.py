@@ -37,15 +37,20 @@ NEG_INF = -1e9
 
 
 class SeatPolicy(NamedTuple):
-    """Static per-seat policy description (hashable; params passed at call)."""
+    """Static per-seat policy description (hashable; params passed at call).
+
+    Epsilon for non-noisy dqn seats is deliberately NOT part of this static
+    description: it decays during training, and baking it into the compile
+    cache key would recompile (and permanently cache) a new arena program per
+    distinct value.  It flows into the compiled program as a traced argument.
+    """
 
     kind: str                      # "random" | "policy" | "dqn"
     spec: object = None            # MLPSpec for nets
     dqn_cfg: Optional[DQNConfig] = None
-    eps: float = 0.0               # epsilon for non-noisy dqn seats
 
 
-def _seat_actions(policy: SeatPolicy, params, obs, hands_sorted, masks, key):
+def _seat_actions(policy: SeatPolicy, params, eps, obs, hands_sorted, masks, key):
     """Actions for one seat across all games: ``[G]``."""
     if policy.kind == "random":
         count = jnp.sum(hands_sorted >= 0, axis=-1)
@@ -64,12 +69,12 @@ def _seat_actions(policy: SeatPolicy, params, obs, hands_sorted, masks, key):
         noise_key, eps_key, rand_key = jax.random.split(key, 3)
         q = q_values(cfg, policy.spec, params, obs, noise_key if cfg.noisy else None)
         greedy = jnp.argmax(jnp.where(masks, q, NEG_INF), axis=-1).astype(jnp.int32)
-        if cfg.noisy or policy.eps == 0.0:
+        if cfg.noisy:
             return greedy
         count = jnp.sum(hands_sorted >= 0, axis=-1)
         r = jnp.floor(jax.random.uniform(rand_key, count.shape) * count).astype(jnp.int32)
         uniform = onehot_select(hands_sorted, r).astype(jnp.int32)
-        explore = jax.random.uniform(eps_key, greedy.shape) < policy.eps
+        explore = jax.random.uniform(eps_key, greedy.shape) < eps  # traced
         return jnp.where(explore, uniform, greedy)
 
     raise ValueError(f"unknown seat policy kind: {policy.kind}")
@@ -87,7 +92,7 @@ def make_arena(cfg: EnvConfig, policies: Tuple[SeatPolicy, ...], num_games: int)
     step_batch = jax.vmap(functools.partial(step, cfg))
     observe_batch = jax.vmap(functools.partial(observe, cfg))
 
-    def run(params_tuple, key):
+    def run(params_tuple, eps_tuple, key):
         key, deal_key = jax.random.split(key)
         state = deal_batch(jax.random.split(deal_key, num_games))
 
@@ -98,7 +103,7 @@ def make_arena(cfg: EnvConfig, policies: Tuple[SeatPolicy, ...], num_games: int)
             actions = jnp.stack(
                 [
                     _seat_actions(
-                        policies[p], params_tuple[p],
+                        policies[p], params_tuple[p], eps_tuple[p],
                         obs[:, p], state.hands_sorted[:, p], masks[:, p], seat_keys[p],
                     )
                     for p in range(cfg.num_players)
@@ -130,10 +135,7 @@ def seat_policy_of(agent) -> Optional[Tuple[SeatPolicy, object]]:
     if isinstance(agent, BatchedActionValueActorCriticAgent):
         return SeatPolicy("policy", spec=agent.spec), agent.params
     if isinstance(agent, DQNAgent):
-        return (
-            SeatPolicy("dqn", spec=agent.spec, dqn_cfg=agent.cfg, eps=float(agent.eps)),
-            agent.params,
-        )
+        return SeatPolicy("dqn", spec=agent.spec, dqn_cfg=agent.cfg), agent.params
     return None
 
 
@@ -149,6 +151,11 @@ def play_match(agents, num_games: int, seed: int = 0) -> np.ndarray:
         raise ValueError(f"agents not device-representable: {bad}")
     policies = tuple(m[0] for m in mapped)
     params = tuple(m[1] for m in mapped)
+    # Per-seat epsilon enters as a traced value (decays during training
+    # without recompiling the arena).
+    eps = tuple(
+        jnp.float32(float(getattr(a, "eps", 0.0))) for a in agents
+    )
     cfg = EnvConfig(num_players=len(agents))
     arena = make_arena(cfg, policies, num_games)
-    return np.asarray(arena(params, jax.random.key(seed)))
+    return np.asarray(arena(params, eps, jax.random.key(seed)))

@@ -443,7 +443,11 @@ def make_dqn_selfplay_step(
         (state, _), (obs, actions, rewards) = lax.scan(
             turn, (state, key), jnp.arange(T)
         )
-        next_obs = jnp.concatenate([obs[1:], obs[-1:]], axis=0)
+        # next_obs[t] = s_{t+1}; the last slot is the TRUE terminal
+        # observation s_T (post-game state), which the reference's n-step
+        # buffer bootstraps the t = T-n transition from (dqn.py:270-278).
+        final_obs, _ = observe_batch(state)
+        next_obs = jnp.concatenate([obs[1:], final_obs[None]], axis=0)
         return obs, actions, rewards, next_obs, -state.scores
 
     def to_transitions(obs, actions, rewards, next_obs):
@@ -459,7 +463,10 @@ def make_dqn_selfplay_step(
         padded = jnp.concatenate([rewards, jnp.zeros((n - 1,) + rewards.shape[1:])], axis=0) if n > 1 else rewards
         disc = jnp.asarray([gamma**i for i in range(n)], rewards.dtype)
         R = sum(disc[i] * padded[i : i + T] for i in range(n))
-        idx_next = jnp.minimum(jnp.arange(T) + n, T - 1)
+        # s'[t] = s_{min(t+n, T)}: the t = T-n transition (and the flushed
+        # tail) bootstrap from the terminal observation s_T, as the
+        # reference's pop/flush do (dqn.py:270-301).
+        idx_next = jnp.minimum(jnp.arange(T) + n, T)
         next_states = next_obs[idx_next - 1] if n > 1 else next_obs
         # Done-flag parity with the reference n-step buffer (dqn.py:270-301):
         # for n > 1 the transition at t = T-n keeps done=False (it bootstraps
