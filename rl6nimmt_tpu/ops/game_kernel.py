@@ -46,7 +46,7 @@ def _compare_swap(cards, players, i, j):
     players[i], players[j] = pi, pj
 
 
-def _bitonic_sort(keys, vals, descending_pad=True):
+def _bitonic_sort(keys, vals):
     """In-place bitonic sort of ``len(keys)`` (power of two) row registers.
 
     Sorts ascending by ``keys`` with ``vals`` carried along; every element is

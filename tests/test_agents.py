@@ -130,3 +130,22 @@ def test_puct_customed_plays_and_learns():
 def test_scores_match_env_accounting():
     session = play_games(DrunkHamster(seed=12), n_games=1, opponents=3)
     np.testing.assert_array_equal(-session.results[0], session.env.scores)
+
+
+def test_human_agent_prompts_until_valid(monkeypatch):
+    """Human CLI loop parity (reference human.py:7-33): 1-indexed input,
+    re-prompt on bad format and on cards not held, learn() is a no-op."""
+    from rl6nimmt_tpu.agents import Human
+
+    agent = Human(name="Merle")
+    feeds = iter(["notacard", "100", "8"])  # junk, card not held, then valid
+    prompts = []
+    monkeypatch.setattr("builtins.input", lambda p: (prompts.append(p), next(feeds))[1])
+
+    action, info = agent.forward(state=None, legal_actions=[2, 7, 31])
+    assert action == 7  # "8" is 1-indexed
+    assert info == {}
+    assert len(prompts) == 3
+    assert "Merle" in prompts[0]
+    assert "don't have that card" in prompts[2]
+    assert agent.learn() == 0.0
