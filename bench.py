@@ -35,7 +35,7 @@ def main():
     # + observation checksums per generation in one Pallas call).  Enough
     # generations per dispatch that the host fetch round trip (~26 ms over
     # the tunnel) stops dominating the measurement.  CPU fallback: XLA path.
-    generations = 1000 if on_tpu else 50
+    generations = 4000 if on_tpu else 50
     rollout = make_random_rollout_generations(
         cfg, num_games=NUM_GAMES, generations=generations, with_observations=True,
         use_pallas="fused" if on_tpu else False,
