@@ -10,6 +10,9 @@ import rl6nimmt_tpu
 
 rl6nimmt_tpu.enable_compilation_cache()
 
+if "--platform" in sys.argv:  # e.g. --platform cpu: fastest for these
+    rl6nimmt_tpu.use_platform(sys.argv[sys.argv.index("--platform") + 1])
+
 from rl6nimmt_tpu.agents import BatchedACERAgent, DrunkHamster
 from rl6nimmt_tpu.runtime import GameSession
 
