@@ -53,9 +53,23 @@ def ref_module():
     return mod
 
 
-@pytest.mark.parametrize("num_players", [2, 4])
+def _policy(name, picker):
+    """Action chooser stressing different rule paths.
+
+    ``lowest`` maximizes undercut-replacement events (cheapest-row picks);
+    ``highest`` maximizes row-overflow captures; ``random`` covers the mix.
+    """
+    if name == "lowest":
+        return lambda hand: int(hand[0])
+    if name == "highest":
+        return lambda hand: int(hand[-1])
+    return lambda hand: int(hand[picker.randint(len(hand))])
+
+
+@pytest.mark.parametrize("policy", ["random", "lowest", "highest"])
+@pytest.mark.parametrize("num_players", [2, 4, 6])
 @pytest.mark.parametrize("seed", [3, 1234])
-def test_full_game_bit_exact_vs_reference(ref_module, num_players, seed):
+def test_full_game_bit_exact_vs_reference(ref_module, num_players, seed, policy):
     from rl6nimmt_tpu.engine import SechsNimmtEnv
     from rl6nimmt_tpu.parity import reference_deck
 
@@ -68,6 +82,7 @@ def test_full_game_bit_exact_vs_reference(ref_module, num_players, seed):
     our_states, our_legal = ours.reset_with_deck(deck)
 
     picker = np.random.RandomState(seed + 1)
+    choose = _policy(policy, picker)
     done = False
     turn = 0
     while not done:
@@ -77,7 +92,7 @@ def test_full_game_bit_exact_vs_reference(ref_module, num_players, seed):
         )
         assert [list(h) for h in our_legal] == [list(h) for h in ref_legal], turn
 
-        actions = [int(h[picker.randint(len(h))]) for h in ref_legal]
+        actions = [choose(h) for h in ref_legal]
         (ref_states, ref_legal), ref_rewards, ref_done, _ = ref.step(list(actions))
         (our_states, our_legal), our_rewards, our_done, _ = ours.step(list(actions))
 
