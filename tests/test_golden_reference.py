@@ -145,3 +145,110 @@ def test_illegal_move_raises_like_reference(ref_module):
         ref.step([bad, int(ref_legal[1][0])])
     with pytest.raises(InvalidMoveException):
         ours.step([bad, int(our_legal[1][0])])
+
+
+def _load_ref_prb():
+    """Load the reference PriorityReplayBuffer with the numba jit stubbed."""
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+        numba.jit = lambda *a, **k: (lambda f: f)
+        sys.modules["numba"] = numba
+    spec = importlib.util.spec_from_file_location(
+        "_golden_ref_rb", "/root/reference/rl_6_nimmt/utils/replay_buffer.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/rl_6_nimmt/utils/replay_buffer.py"),
+    reason="reference checkout not mounted",
+)
+def test_prb_priority_and_weight_math_matches_reference():
+    """Same operation sequence -> identical leaf priorities and IS weights.
+
+    The reference tracks priorities in a SumTree addressed by TREE indices
+    (leaf = slot + capacity - 1, replay_buffer.py:175-189); ours in a flat
+    array addressed by slot.  Both implement store-at-max-priority,
+    priority = (min(|err|+eps, 1))^alpha, and IS weight = (p/min_p)^-beta
+    with the same beta anneal, so identical stores and updates must produce
+    identical leaves, and the reference's sampled IS weights must equal the
+    weights our formula assigns to the same slots.
+    """
+    from rl6nimmt_tpu.buffers.host import HostPriorityBuffer
+
+    rb = _load_ref_prb()
+    cap = 64
+    ref = rb.PriorityReplayBuffer(max_length=cap)
+    ours = HostPriorityBuffer(max_length=cap)
+
+    rng = np.random.RandomState(5)
+    for i in range(100):  # wraps the ring once
+        ref.store(x=i)
+        ours.store(x=i)
+        if i % 3 == 2:
+            idx = rng.randint(0, min(i + 1, cap), size=4)
+            errs = rng.random(4) * 2.0
+            # reference batch_update takes TREE ids and mutates errs in place
+            ref.batch_update(idx + cap - 1, errs.copy())
+            ours.batch_update(idx, errs)
+
+    np.testing.assert_allclose(ours.priorities, ref.tree.tree[-cap:], rtol=1e-12)
+
+    # IS weights: the reference anneals beta at sample() start, then weights
+    # w = (p/min_p)^-beta.  Recompute from our flat priorities for the slots
+    # the reference actually drew.
+    import random as pyrandom
+
+    ref.beta = 0.7
+    pyrandom.seed(11)
+    ref_idx, ref_w, _ = ref.sample(8)
+    slots = np.asarray(ref_idx) - (cap - 1)
+    beta = min(1.0, 0.7 + ref.beta_increment)
+    total = ours.priorities.sum()
+    probs = ours.priorities[slots] / total
+    min_prob = ours.priorities.min() / total
+    expect_w = np.power(probs / min_prob, -beta)
+    np.testing.assert_allclose(np.asarray(ref_w).ravel(), expect_w, rtol=1e-9)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/rl_6_nimmt/utils/replay_buffer.py"),
+    reason="reference checkout not mounted",
+)
+def test_prb_sampling_distribution_matches_reference():
+    """Chi-square agreement of sampling frequencies over identical priorities."""
+    from rl6nimmt_tpu.buffers.host import HostPriorityBuffer
+
+    rb = _load_ref_prb()
+    cap = 32
+    ref = rb.PriorityReplayBuffer(max_length=cap)
+    ours = HostPriorityBuffer(max_length=cap)
+    rng = np.random.RandomState(9)
+    errs = rng.random(cap) * 3.0
+    for i in range(cap):
+        ref.store(x=i)
+        ours.store(x=i)
+    ref.batch_update(np.arange(cap) + cap - 1, errs.copy())
+    ours.batch_update(np.arange(cap), errs)
+    np.testing.assert_allclose(ours.priorities, ref.tree.tree[-cap:], rtol=1e-12)
+
+    import random as pyrandom
+
+    pyrandom.seed(3)
+    np.random.seed(3)
+    draws = 3000
+    ref_counts = np.zeros(cap)
+    our_counts = np.zeros(cap)
+    for _ in range(draws // 10):
+        ref_idx, _, _ = ref.sample(10)
+        ref_counts[np.asarray(ref_idx) - (cap - 1)] += 1
+        idx, _, _ = ours.sample(10)
+        our_counts[idx] += 1
+
+    expected = draws * ours.priorities / ours.priorities.sum()
+    for counts in (ref_counts, our_counts):
+        chi2 = np.sum((counts - expected) ** 2 / np.maximum(expected, 1e-9))
+        # dof = 31; 5-sigma-ish bound ~ 80
+        assert chi2 < 80, (chi2, counts)
