@@ -252,3 +252,104 @@ def test_prb_sampling_distribution_matches_reference():
         chi2 = np.sum((counts - expected) ** 2 / np.maximum(expected, 1e-9))
         # dof = 31; 5-sigma-ish bound ~ 80
         assert chi2 < 80, (chi2, counts)
+
+
+def _load_ref_utils(name):
+    spec = importlib.util.spec_from_file_location(
+        f"_golden_ref_{name}", f"/root/reference/rl_6_nimmt/utils/{name}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/rl_6_nimmt/utils/nets.py"),
+    reason="reference checkout not mounted",
+)
+def test_mlp_forward_matches_reference_with_identical_weights():
+    """Copy torch MultiHeadedMLP / DuellingDQNNet weights into our param tree
+    and compare forwards: same math, torch-vs-XLA agreement to f32 tolerance."""
+    import torch
+
+    from rl6nimmt_tpu.nets import MLPSpec, dueling_apply, mlp_apply
+
+    nets = _load_ref_utils("nets")
+    torch.manual_seed(0)
+    ref = nets.MultiHeadedMLP(
+        input_size=48, hidden_sizes=(100, 100), head_sizes=(1, 5),
+        activation=torch.nn.ReLU(), head_activations=(None, None),
+    )
+    spec = MLPSpec(input_size=48, hidden_sizes=(100, 100), head_sizes=(1, 5))
+
+    def grab(linear):
+        return {
+            "w": np.asarray(linear.weight.detach().numpy().T),
+            "b": np.asarray(linear.bias.detach().numpy()),
+        }
+
+    trunk = [grab(m) for m in ref.latent_net if isinstance(m, torch.nn.Linear)]
+    heads = [grab(h[0]) for h in ref.head_nets]
+    params = {"trunk": trunk, "heads": heads}
+
+    x = np.random.RandomState(1).standard_normal((7, 48)).astype(np.float32)
+    ref_out = [o.detach().numpy() for o in ref(torch.tensor(x))]
+    our_out = [np.asarray(o) for o in mlp_apply(spec, params, x)]
+    for r, o in zip(ref_out, our_out):
+        np.testing.assert_allclose(o, r, atol=2e-5)
+
+    # Dueling aggregation Q = V + (A - mean A) over a (1, A)-headed MLP.
+    torch.manual_seed(2)
+    ref_duel = nets.DuellingDQNNet(
+        input_size=48, hidden_sizes=(64,), out_size=5, activation=torch.nn.ReLU()
+    )
+    duel_spec = MLPSpec(input_size=48, hidden_sizes=(64,), head_sizes=(1, 5))
+    inner = ref_duel.mlp
+    duel_params = {
+        "trunk": [grab(m) for m in inner.latent_net if isinstance(m, torch.nn.Linear)],
+        "heads": [grab(h[0]) for h in inner.head_nets],
+    }
+    (ref_q,) = ref_duel(torch.tensor(x))
+    our_q = np.asarray(dueling_apply(duel_spec, duel_params, x))
+    np.testing.assert_allclose(our_q, ref_q.detach().numpy(), atol=2e-5)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/rl_6_nimmt/utils/preprocessing.py"),
+    reason="reference checkout not mounted",
+)
+def test_state_normalization_matches_reference():
+    import torch
+
+    from rl6nimmt_tpu.nets import normalize_state
+
+    pre = _load_ref_utils("preprocessing")
+    rng = np.random.RandomState(4)
+    # A plausible raw 47-dim state: hand block, num players, summaries, board.
+    state = np.concatenate([
+        rng.randint(-1, 104, size=10),
+        [4],
+        rng.randint(1, 6, size=4),
+        rng.randint(0, 104, size=4),
+        rng.randint(1, 11, size=4),
+        rng.randint(-1, 104, size=24),
+    ]).astype(np.float32)
+
+    ref_norm = pre.SechsNimmtStateNormalization(action=False)
+    ref_out = ref_norm(torch.tensor(state)).numpy()
+    our_out = np.asarray(normalize_state(state))
+    np.testing.assert_allclose(our_out, ref_out.ravel(), atol=1e-6)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/rl_6_nimmt/utils/various.py"),
+    reason="reference checkout not mounted",
+)
+def test_discounted_returns_match_reference():
+    from rl6nimmt_tpu.utils.returns import discounted_returns
+
+    various = _load_ref_utils("various")
+    rewards = np.asarray([0.0, -3.0, 0.0, -7.0, 1.5], np.float32)
+    ref = various.compute_discounted_returns(rewards, gamma=0.99).numpy()
+    ours = np.asarray(discounted_returns(rewards, 0.99))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
