@@ -172,7 +172,10 @@ def _play_turns(cfg: EnvConfig, board, row_len, hands, reward_out, checksum_out)
                     board_sum = board_sum + cell  # empty slots already hold -1
                     pts_sum = pts_sum + jnp.where(filled, _card_points(cell), 0)
                     high_sum = high_sum + jnp.where(s == row_len[r] - 1, cell, 0)
-            game_block = P + len_sum + high_sum + pts_sum + board_sum
+            if cfg.include_summaries:
+                game_block = P + len_sum + high_sum + pts_sum + board_sum
+            else:  # observation drops the per-row summary blocks
+                game_block = P + board_sum
             checksum = checksum + hand_sum.astype(jnp.float32) + (
                 P * game_block
             ).astype(jnp.float32)
