@@ -26,7 +26,12 @@ def main(argv=None):
     parser.add_argument("--mc-max", type=int, default=800)
     parser.add_argument("--checkpoint", default=None,
                         help="tournament pickle; its best agent becomes the opponent")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force JAX platform (e.g. cpu)")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        rl6nimmt_tpu.use_platform(args.platform)
 
     logging.basicConfig(format="%(message)s", level=logging.INFO)
 
