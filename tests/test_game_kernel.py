@@ -120,3 +120,18 @@ def test_fused_generations_runtime_path():
     # Keys fold to different seeds -> different outcomes.
     total2, _ = jax.tree.map(np.asarray, fused(jax.random.key(1)))
     assert not np.array_equal(total, total2)
+
+
+@requires_tpu
+def test_selfdeal_kernel_is_deterministic_per_seed():
+    """Same seed -> bit-identical rewards/checksums; different seed differs."""
+    from rl6nimmt_tpu.ops.game_kernel import TILE, make_selfdeal_game_kernel
+
+    cfg = EnvConfig(num_players=4)
+    play = make_selfdeal_game_kernel(cfg, TILE)
+    r1, c1 = jax.tree.map(np.asarray, play(42))
+    r2, c2 = jax.tree.map(np.asarray, play(42))
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(c1, c2)
+    r3, _ = jax.tree.map(np.asarray, play(43))
+    assert not np.array_equal(r1, r3)
