@@ -99,10 +99,13 @@ def main(argv=None):
 
         # Fixed-size chunked scan (one compile).  --eval-every N evaluates
         # every N updates; default is 8 log-spaced marks rounded to chunks.
-        chunk = max(args.eval_every or args.updates // 64, 1)
+        # Chunks are capped: single device programs much past ~10k scanned
+        # updates have tripped the TPU worker watchdog on this relay.
+        chunk = max(min(args.eval_every or args.updates // 64, 10_000), 1)
         total = (args.updates // chunk) * chunk
         if args.eval_every:
-            marks = list(range(chunk, total + 1, chunk))
+            step_mark = max(args.eval_every // chunk, 1) * chunk
+            marks = list(range(step_mark, total + 1, step_mark))
         else:
             marks = sorted(
                 {((int(total ** (i / 7)) + chunk - 1) // chunk) * chunk for i in range(8)}
