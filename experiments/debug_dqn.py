@@ -15,7 +15,10 @@ import rl6nimmt_tpu
 rl6nimmt_tpu.enable_compilation_cache()
 
 if "--platform" in sys.argv:  # e.g. --platform cpu: fastest for these
-    rl6nimmt_tpu.use_platform(sys.argv[sys.argv.index("--platform") + 1])
+    i = sys.argv.index("--platform")
+    if i + 1 >= len(sys.argv):
+        sys.exit("usage: --platform <name>  (e.g. --platform cpu)")
+    rl6nimmt_tpu.use_platform(sys.argv[i + 1])
 
 from rl6nimmt_tpu.agents import DrunkHamster, Noisy_D3QN_PRB_NStep
 from rl6nimmt_tpu.runtime import GameSession

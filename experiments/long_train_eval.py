@@ -64,7 +64,11 @@ def main(argv=None):
     parser.add_argument("--games", type=int, default=2048)
     parser.add_argument("--updates", type=int, default=20000, help="reinforce updates")
     parser.add_argument("--cycles", type=int, default=2000, help="dqn cycles")
-    parser.add_argument("--eval-every", type=int, default=0, help="0 = 8 log-spaced points")
+    parser.add_argument(
+        "--eval-every", type=int, default=0,
+        help="eval cadence in updates, rounded down to a multiple of the 10k "
+             "device-chunk cap; 0 = 8 log-spaced points",
+    )
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--entropy", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)

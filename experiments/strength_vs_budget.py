@@ -31,6 +31,8 @@ def main(argv=None):
     parser.add_argument("--platform", type=str, default="cpu")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+    if args.games <= 0:
+        parser.error("--games must be positive")
 
     if args.platform:
         rl6nimmt_tpu.use_platform(args.platform)
@@ -44,7 +46,6 @@ def main(argv=None):
         small = PUCTAgent(mc_max=args.small, seed=args.seed + 2)
     else:
         small = MCSAgent(mc_max=args.small, seed=args.seed + 2)
-    big.eval() if hasattr(big, "eval") else None
     name_b = f"Alpha0.5@{args.big}"
     name_s = f"{args.opponent}@{args.small}"
 

@@ -135,3 +135,21 @@ def test_selfdeal_kernel_is_deterministic_per_seed():
     np.testing.assert_array_equal(c1, c2)
     r3, _ = jax.tree.map(np.asarray, play(43))
     assert not np.array_equal(r1, r3)
+
+
+@requires_tpu
+def test_checksum_gate_on_include_summaries():
+    """Same seed, summaries on/off: identical games (rules and PRNG stream
+    don't depend on the observation layout) but different checksums (the
+    no-summaries observation drops the per-row summary blocks)."""
+    from rl6nimmt_tpu.ops.game_kernel import TILE, make_selfdeal_game_kernel
+
+    with_s = EnvConfig(num_players=4, include_summaries=True)
+    without = EnvConfig(num_players=4, include_summaries=False)
+    r1, c1 = jax.tree.map(np.asarray, make_selfdeal_game_kernel(with_s, TILE)(7))
+    r2, c2 = jax.tree.map(np.asarray, make_selfdeal_game_kernel(without, TILE)(7))
+    np.testing.assert_array_equal(r1, r2)
+    assert not np.array_equal(c1, c2)
+    # The gap is exactly the summed summary blocks, which are positive for
+    # every live game state: with-summaries checksums must be larger.
+    assert np.all(c1 > c2)
