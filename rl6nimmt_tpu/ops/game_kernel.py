@@ -29,7 +29,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..engine.state import EnvConfig
-from .step_kernel import LANES, SUBLANES, TILE, _apply_subplay, _card_points
+from .step_kernel import (
+    LANES,
+    SUBLANES,
+    TILE,
+    _apply_subplay,
+    _row_aggregates,
+)
 
 
 def _seed_hash(seed):
@@ -37,23 +43,16 @@ def _seed_hash(seed):
     return seed * jnp.int32(-1640531527)
 
 
-def _compare_swap(cards, players, i, j):
-    """Vectorized compare-swap on (card, player) pairs: ascending by card."""
-    swap = cards[i] > cards[j]
-    ci, cj = jnp.where(swap, cards[j], cards[i]), jnp.where(swap, cards[i], cards[j])
-    pi, pj = jnp.where(swap, players[j], players[i]), jnp.where(swap, players[i], players[j])
-    cards[i], cards[j] = ci, cj
-    players[i], players[j] = pi, pj
+def _bitonic_sort_packed(vals):
+    """In-place ascending bitonic sort of ``len(vals)`` (power of two) tiles.
 
-
-def _bitonic_sort(keys, vals):
-    """In-place bitonic sort of ``len(keys)`` (power of two) row registers.
-
-    Sorts ascending by ``keys`` with ``vals`` carried along; every element is
-    an ``[8, 128]`` tile so each compare-swap is one vectorized select over
-    the whole game tile.  n=128 -> 28 passes, 64 pairs each.
+    Every element is a single packed ``[8, 128]`` int32 tile (sort key in the
+    high bits, payload in the low bits), so each compare-swap is just one
+    ``minimum`` + one ``maximum`` over the whole game tile -- 2 vector ops
+    instead of the 5 a separate key/payload swap costs.  n=128 -> 28 passes,
+    64 pairs each.
     """
-    n = len(keys)
+    n = len(vals)
     assert n & (n - 1) == 0, n
     k = 2
     while k <= n:
@@ -62,14 +61,9 @@ def _bitonic_sort(keys, vals):
             for i in range(n):
                 l = i ^ j
                 if l > i:
-                    up = (i & k) == 0
-                    swap = (keys[i] > keys[l]) if up else (keys[i] < keys[l])
-                    ki = jnp.where(swap, keys[l], keys[i])
-                    kl = jnp.where(swap, keys[i], keys[l])
-                    vi = jnp.where(swap, vals[l], vals[i])
-                    vl = jnp.where(swap, vals[i], vals[l])
-                    keys[i], keys[l] = ki, kl
-                    vals[i], vals[l] = vi, vl
+                    lo = jnp.minimum(vals[i], vals[l])
+                    hi = jnp.maximum(vals[i], vals[l])
+                    vals[i], vals[l] = (lo, hi) if (i & k) == 0 else (hi, lo)
             j //= 2
         k *= 2
 
@@ -77,65 +71,50 @@ def _bitonic_sort(keys, vals):
 def _deal_in_kernel(cfg: EnvConfig, shape):
     """Deal a fresh game per lane from the (already seeded) hardware PRNG.
 
-    A uniform deck permutation via random-key sort: draw a 30-bit sort key
-    per deck slot, pad 104 -> 128 with sentinel keys that sort last, and run
-    a bitonic network over the 128 row registers.  Key collisions (~5e-6 per
-    game at 30 bits) fall back to the network's deterministic order -- an
+    A uniform deck permutation via random-key sort: pack a 24-bit sort key
+    over the 7-bit card id per deck slot, pad 104 -> 128 with sentinel values
+    that sort last, and run a bitonic network over the 128 packed row
+    registers (min/max compare-swaps).  Key collisions (~3e-4 expected
+    colliding pairs per game at 24 bits) fall back to ascending card id -- an
     immeasurable deviation from exact uniformity.  Deck layout then matches
     :func:`rl6nimmt_tpu.engine.env.init_from_deck`: player ``p`` holds slots
     ``[p*H, (p+1)*H)`` (sorted ascending in-hand), board row ``r`` is seeded
     from slot ``C-1-r``.
     """
     R, T, P, H, C = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size, cfg.num_cards
+    assert C <= 128, C  # card id must fit the low 7 bits of the packed word
     pad = 1 << (C - 1).bit_length()
 
-    keys, vals = [], []
+    packed = []
     for c in range(C):
         bits = pltpu.prng_random_bits(shape)
-        keys.append(
-            (pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(2)).astype(jnp.int32)
-        )
-        vals.append(jnp.full(shape, c, jnp.int32))
-    sentinel_key = jnp.full(shape, jnp.int32(0x7FFFFFFF), jnp.int32)
-    sentinel_val = jnp.full(shape, -1, jnp.int32)
+        key24 = (pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(8)).astype(jnp.int32)
+        packed.append((key24 << 7) | c)
+    sentinel = jnp.full(shape, jnp.int32(0x7FFFFFFF), jnp.int32)
     for _ in range(C, pad):
-        keys.append(sentinel_key)
-        vals.append(sentinel_val)
-    _bitonic_sort(keys, vals)
-    deck = vals[:C]
+        packed.append(sentinel)
+    _bitonic_sort_packed(packed)
+    deck = lambda i: packed[i] & jnp.int32(127)  # unpack card id (lazy per slot)
 
-    # Hands: slots [p*H, (p+1)*H), each sorted ascending (bubble network).
+    # Hands: slots [p*H, (p+1)*H), each sorted ascending (min/max bubble).
     hands = []
     for p in range(P):
-        hand = deck[p * H : (p + 1) * H]
+        hand = [deck(p * H + i) for i in range(H)]
         for i in range(H):
             for j in range(H - 1 - i):
-                swap = hand[j] > hand[j + 1]
                 hand[j], hand[j + 1] = (
-                    jnp.where(swap, hand[j + 1], hand[j]),
-                    jnp.where(swap, hand[j], hand[j + 1]),
+                    jnp.minimum(hand[j], hand[j + 1]),
+                    jnp.maximum(hand[j], hand[j + 1]),
                 )
         hands.extend(hand)
 
     # Board: row r seeded from the deck tail (init_from_deck parity).
     board = []
     for r in range(R):
-        board.append(deck[C - 1 - r])
+        board.append(deck(C - 1 - r))
         board.extend(jnp.full(shape, -1, jnp.int32) for _ in range(T - 1))
     row_len = [jnp.full(shape, 1, jnp.int32) for _ in range(R)]
     return board, row_len, hands
-
-
-def _game_kernel(cfg: EnvConfig, seed_ref, board_ref, len_ref, hs_ref,
-                 reward_out, checksum_out):
-    R, T, P, H = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size
-
-    pltpu.prng_seed(_seed_hash(seed_ref[0] + pl.program_id(0)))
-
-    board = [board_ref[i] for i in range(R * T)]          # [8,128] tiles
-    row_len = [len_ref[r] for r in range(R)]
-    hands = [hs_ref[i] for i in range(P * H)]             # player p slot h = p*H+h
-    _play_turns(cfg, board, row_len, hands, reward_out, checksum_out)
 
 
 def _selfdeal_game_kernel(cfg: EnvConfig, seed_ref, reward_out, checksum_out):
@@ -148,49 +127,54 @@ def _selfdeal_game_kernel(cfg: EnvConfig, seed_ref, reward_out, checksum_out):
 
 def _play_turns(cfg: EnvConfig, board, row_len, hands, reward_out, checksum_out):
     R, T, P, H = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size
+    assert P < 16, P  # player id must fit the low 4 bits of the packed word
 
     rewards = [jnp.zeros_like(board[0]) for _ in range(P)]
     checksum = jnp.zeros_like(board[0], dtype=jnp.float32)
+    aggr = _row_aggregates(cfg, board, row_len)
+    row_pts, row_last, row_csum = aggr
 
     for t in range(cfg.max_turns):
         count = H - t  # cards left in every hand this turn (static)
 
         # ----- observation checksum (matches engine observe layout sums) ----
-        if True:
-            hand_sum = jnp.zeros_like(board[0])
-            for i in range(P * H):
-                hand_sum = hand_sum + hands[i]
-            board_sum = jnp.zeros_like(board[0])
-            pts_sum = jnp.zeros_like(board[0])
-            len_sum = jnp.zeros_like(board[0])
-            high_sum = jnp.zeros_like(board[0])
-            for r in range(R):
-                len_sum = len_sum + row_len[r]
-                for s in range(T):
-                    cell = board[r * T + s]
-                    filled = s < row_len[r]
-                    board_sum = board_sum + cell  # empty slots already hold -1
-                    pts_sum = pts_sum + jnp.where(filled, _card_points(cell), 0)
-                    high_sum = high_sum + jnp.where(s == row_len[r] - 1, cell, 0)
-            if cfg.include_summaries:
-                game_block = P + len_sum + high_sum + pts_sum + board_sum
-            else:  # observation drops the per-row summary blocks
-                game_block = P + board_sum
-            checksum = checksum + hand_sum.astype(jnp.float32) + (
-                P * game_block
-            ).astype(jnp.float32)
+        # The per-row summary sums come straight off the aggregate registers
+        # _apply_subplay maintains; the hand block still reads every hand
+        # slot.  Bit-identical to summing the materialized observe() layout:
+        # empty board cells hold -1, so board_sum = csum - (T - len) per row.
+        hand_sum = jnp.zeros_like(board[0])
+        for i in range(P * H):
+            hand_sum = hand_sum + hands[i]
+        len_sum = row_len[0]
+        pts_sum = row_pts[0]
+        high_sum = row_last[0]
+        board_sum = row_csum[0]
+        for r in range(1, R):
+            len_sum = len_sum + row_len[r]
+            pts_sum = pts_sum + row_pts[r]
+            high_sum = high_sum + row_last[r]
+            board_sum = board_sum + row_csum[r]
+        board_sum = board_sum + len_sum - R * T
+        if cfg.include_summaries:
+            game_block = P + len_sum + high_sum + pts_sum + board_sum
+        else:  # observation drops the per-row summary blocks
+            game_block = P + board_sum
+        checksum = checksum + hand_sum.astype(jnp.float32) + (
+            P * game_block
+        ).astype(jnp.float32)
 
         # ------------------------- uniform-legal sampling per seat ----------
-        cards = []
-        players = []
+        # Each pick is packed as card<<4 | player so the ascending-order sort
+        # below runs on single registers with min/max compare-swaps (cards
+        # are distinct across seats, so the player bits never decide order).
+        packed = []
         for p in range(P):
             bits = pltpu.prng_random_bits(board[0].shape)
             r = (pltpu.bitcast(bits, jnp.uint32) % jnp.uint32(count)).astype(jnp.int32)
             pick = jnp.zeros_like(board[0])
             for h in range(count):
                 pick = jnp.where(r == h, hands[p * H + h], pick)
-            cards.append(pick)
-            players.append(jnp.full_like(pick, p))
+            packed.append((pick << 4) | p)
             # Remove the picked card: shift left from slot r.
             for h in range(count - 1):
                 hands[p * H + h] = jnp.where(
@@ -203,63 +187,21 @@ def _play_turns(cfg: EnvConfig, board, row_len, hands, reward_out, checksum_out)
         # ------------------ ascending order: bubble sorting network ---------
         for i in range(P):
             for j in range(P - 1 - i):
-                _compare_swap(cards, players, j, j + 1)
+                packed[j], packed[j + 1] = (
+                    jnp.minimum(packed[j], packed[j + 1]),
+                    jnp.maximum(packed[j], packed[j + 1]),
+                )
 
         # --------------------------- resolve the P sub-plays ----------------
         for i in range(P):
-            _apply_subplay(cfg, board, row_len, rewards, cards[i], players[i])
+            _apply_subplay(
+                cfg, board, row_len, aggr, rewards,
+                packed[i] >> 4, packed[i] & jnp.int32(15),
+            )
 
     for p in range(P):
         reward_out[p] = rewards[p]
     checksum_out[0] = checksum
-
-
-@functools.lru_cache(maxsize=None)
-def make_game_kernel(cfg: EnvConfig, num_games: int, with_observations: bool = True):
-    """Compile ``(seed, board_t, len_t, hs_t) -> (rewards[P,G], checksum[G])``.
-
-    Inputs use the games-last tiled layout ``[rows, G//128, 128]``; see
-    :func:`play_random_games` for the convenience wrapper from a dealt
-    :class:`EnvState` batch.
-    """
-    del with_observations  # checksum always computed (keeps comparisons fair)
-    R, T, P, H = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size
-    G = num_games
-    assert G % TILE == 0, f"num_games={G} must be a multiple of {TILE}"
-    grid = (G // TILE,)
-
-    kernel = functools.partial(_game_kernel, cfg)
-    blk = lambda rows: pl.BlockSpec(
-        (rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-    )
-    shaped = lambda rows, dtype=jnp.int32: jax.ShapeDtypeStruct(
-        (rows, G // LANES, LANES), dtype
-    )
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
-            blk(R * T), blk(R), blk(P * H),
-        ],
-        out_specs=(blk(P), blk(1)),
-        out_shape=(shaped(P), shaped(1, jnp.float32)),
-    )
-
-    def play(seed, board, row_len, hands_sorted):
-        """From a freshly dealt [G]-batched EnvState's fields."""
-        tile3 = lambda x: x.reshape(G, -1).T.reshape(-1, G // LANES, LANES)
-        rewards_t, checksum_t = call(
-            jnp.asarray([seed], jnp.int32),
-            tile3(board), tile3(row_len), tile3(hands_sorted),
-        )
-        return (
-            rewards_t.reshape(P, G).T,
-            checksum_t.reshape(G),
-        )
-
-    return jax.jit(play)
 
 
 @functools.lru_cache(maxsize=None)

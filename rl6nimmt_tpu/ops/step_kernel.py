@@ -46,45 +46,61 @@ def _card_points(face_idx):
 
 
 
-def _apply_subplay(cfg: EnvConfig, board, row_len, rewards, card, player):
-    """Resolve ONE sub-play on tile-register state, shared by both kernels.
+def _row_aggregates(cfg: EnvConfig, board, row_len):
+    """Per-row (points, last card, filled-cell sum) registers from the board.
 
-    ``board`` (R*T tiles), ``row_len`` (R tiles) and ``rewards`` (P tiles)
-    are register lists mutated in place; ``card``/``player`` are tiles for
-    the sub-play being resolved.  Single source of truth for the rules-
-    critical resolution math (engine/env.py:_resolve semantics).
+    ``points`` is the row penalty including the last card (the reference's
+    ``_row_value(include_last=True)``, env.py:214-222), ``last`` the highest
+    (= last appended) card, ``csum`` the sum of filled card ids.  Computed
+    once per kernel entry; :func:`_apply_subplay` then maintains all three
+    incrementally so the O(R*T) sweep never reruns per sub-play.
     """
-    R, T, P = cfg.num_rows, cfg.threshold, cfg.num_players
-
-    # Last card and total points per row.
-    lasts, points = [], []
+    R, T = cfg.num_rows, cfg.threshold
+    row_pts, row_last, row_csum = [], [], []
     for r in range(R):
-        last = jnp.zeros_like(card)
-        pts = jnp.zeros_like(card)
+        last = jnp.zeros_like(board[0])
+        pts = jnp.zeros_like(board[0])
+        csum = jnp.zeros_like(board[0])
         for t in range(T):
             cell = board[r * T + t]
             filled = t < row_len[r]
             last = jnp.where(t == row_len[r] - 1, cell, last)
             pts = pts + jnp.where(filled, _card_points(cell), 0)
-        lasts.append(last)
-        points.append(pts)
+            csum = csum + jnp.where(filled, cell, 0)
+        row_pts.append(pts)
+        row_last.append(last)
+        row_csum.append(csum)
+    return row_pts, row_last, row_csum
+
+
+def _apply_subplay(cfg: EnvConfig, board, row_len, aggr, rewards, card, player):
+    """Resolve ONE sub-play on tile-register state, shared by both kernels.
+
+    ``board`` (R*T tiles), ``row_len`` (R tiles), ``aggr`` (the
+    :func:`_row_aggregates` triple) and ``rewards`` (P tiles) are register
+    lists mutated in place; ``card``/``player`` are tiles for the sub-play
+    being resolved.  Single source of truth for the rules-critical resolution
+    math (engine/env.py:_resolve semantics).
+    """
+    R, T, P = cfg.num_rows, cfg.threshold, cfg.num_players
+    row_pts, row_last, row_csum = aggr
 
     # Row with the highest last card below the played card.
     best_last = jnp.full_like(card, -1)
     target = jnp.zeros_like(card)
     for r in range(R):
-        fit = lasts[r] < card
-        better = fit & (lasts[r] > best_last)
-        best_last = jnp.where(better, lasts[r], best_last)
+        fit = row_last[r] < card
+        better = fit & (row_last[r] > best_last)
+        best_last = jnp.where(better, row_last[r], best_last)
         target = jnp.where(better, r, target)
     undercut = best_last < 0
 
     # Cheapest row (first-minimum tie-break) for undercut captures.
-    cheapest_pts = points[0]
+    cheapest_pts = row_pts[0]
     cheapest = jnp.zeros_like(card)
     for r in range(1, R):
-        cheaper = points[r] < cheapest_pts
-        cheapest_pts = jnp.where(cheaper, points[r], cheapest_pts)
+        cheaper = row_pts[r] < cheapest_pts
+        cheapest_pts = jnp.where(cheaper, row_pts[r], cheapest_pts)
         cheapest = jnp.where(cheaper, r, cheapest)
     row = jnp.where(undercut, cheapest, target)
 
@@ -93,12 +109,15 @@ def _apply_subplay(cfg: EnvConfig, board, row_len, rewards, card, player):
     for r in range(R):
         sel = row == r
         old_len = jnp.where(sel, row_len[r], old_len)
-        old_pts = jnp.where(sel, points[r], old_pts)
+        old_pts = jnp.where(sel, row_pts[r], old_pts)
     captures = undercut | (old_len + 1 >= T)
 
-    # Board update: capture -> [card, -1, ...]; else append at old_len.
+    # Board + aggregate update: capture -> [card, -1, ...]; else append.
+    cpts = _card_points(card)
     for r in range(R):
         sel = row == r
+        cap = sel & captures
+        app = sel & ~captures
         for t in range(T):
             cell = board[r * T + t]
             cap_cell = jnp.where(t == 0, card, jnp.full_like(card, -1))
@@ -109,6 +128,9 @@ def _apply_subplay(cfg: EnvConfig, board, row_len, rewards, card, player):
         row_len[r] = jnp.where(
             sel, jnp.where(captures, jnp.ones_like(old_len), old_len + 1), row_len[r]
         )
+        row_pts[r] = jnp.where(cap, cpts, row_pts[r] + jnp.where(app, cpts, 0))
+        row_csum[r] = jnp.where(cap, card, row_csum[r] + jnp.where(app, card, 0))
+        row_last[r] = jnp.where(sel, card, row_last[r])
 
     penalty = jnp.where(captures, old_pts, 0)
     for p in range(P):
@@ -123,9 +145,10 @@ def _turn_kernel(cfg: EnvConfig, cards_ref, order_ref, board_ref, len_ref,
     board = [board_ref[i] for i in range(R * T)]
     row_len = [len_ref[r] for r in range(R)]
     rewards = [jnp.zeros_like(row_len[0]) for _ in range(P)]
+    aggr = _row_aggregates(cfg, board, row_len)
 
     for i in range(P):  # sub-plays in ascending card order
-        _apply_subplay(cfg, board, row_len, rewards, cards_ref[i], order_ref[i])
+        _apply_subplay(cfg, board, row_len, aggr, rewards, cards_ref[i], order_ref[i])
 
     for i in range(R * T):
         board_out[i] = board[i]
