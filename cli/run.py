@@ -52,6 +52,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="pickle path: loaded if it exists, saved every block")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--lockstep", action="store_true",
+                        help="play each block in lockstep with cross-game batched "
+                             "search playouts (Tournament.play_block; evolve "
+                             "cadence is respected at block boundaries)")
     parser.add_argument("--platform", type=str, default=None,
                         help="force JAX platform (e.g. cpu)")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -83,18 +87,31 @@ def main(argv=None):
                 pass
             tournament.add_player(f"{name}", agent)
 
+    def maybe_evolve():
+        if (
+            args.evolve_every
+            and tournament.total_games % args.evolve_every == 0
+            and tournament.total_games < args.games
+        ):
+            tournament.evolve(
+                copies=(2,), max_players=args.evolve_max_players, max_per_descendant=2
+            )
+
     print(tournament)
     while tournament.total_games < args.games:
-        for _ in range(min(args.block, args.games - tournament.total_games)):
-            tournament.play_game()
-            if (
-                args.evolve_every
-                and tournament.total_games % args.evolve_every == 0
-                and tournament.total_games < args.games
-            ):
-                tournament.evolve(
-                    copies=(2,), max_players=args.evolve_max_players, max_per_descendant=2
+        chunk = min(args.block, args.games - tournament.total_games)
+        if args.lockstep:
+            if args.evolve_every:  # stop lockstep chunks at evolve boundaries
+                chunk = min(
+                    chunk,
+                    args.evolve_every - tournament.total_games % args.evolve_every,
                 )
+            tournament.play_block(chunk)
+            maybe_evolve()
+        else:
+            for _ in range(chunk):
+                tournament.play_game()
+                maybe_evolve()
         print(tournament)
         if args.checkpoint:
             save_checkpoint(args.checkpoint, tournament)

@@ -37,6 +37,10 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", type=str, default=None,
                         help="force JAX platform (e.g. cpu)")
+    parser.add_argument("--block", type=int, default=1,
+                        help="games per lockstep block (1 = sequential reference "
+                             "protocol; larger blocks batch search playouts "
+                             "across games via Tournament.play_block)")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -61,6 +65,14 @@ def main(argv=None):
     n = lambda games: max(1, int(games * args.scale))
     ckpt = lambda tag: str(Path(args.checkpoint_dir) / f".tournament{tag}.pickle")
 
+    def play_n(tournament, games):
+        if args.block <= 1:
+            for _ in range(games):
+                tournament.play_game()
+        else:
+            for start in range(0, games, args.block):
+                tournament.play_block(min(args.block, games - start))
+
     agents = {
         "Random": DrunkHamster(seed=args.seed),
         "D3QN": Noisy_D3QN_PRB_NStep(
@@ -83,8 +95,7 @@ def main(argv=None):
 
     # ------------------------------------------------- stage 1: evolve era
     while tournament.total_games < n(2000):
-        for _ in range(n(400)):
-            tournament.play_game()
+        play_n(tournament, n(400))
         print(tournament)
         if tournament.total_games < n(2000):
             tournament.evolve(max_players=6, max_per_descendant=2, copies=(2,))
@@ -96,16 +107,14 @@ def main(argv=None):
             agent.mc_max = args.mc_max * 2
     tournament.elo_k = 16
     while tournament.total_games < n(3200):
-        for _ in range(n(400)):
-            tournament.play_game()
+        play_n(tournament, n(400))
         print(tournament)
     save_checkpoint(ckpt("2"), tournament)
 
     # ------------------------------------------------ stage 3: ELO annealing
     for stage, k in enumerate((32, 16, 8, 4), start=3):
         tournament.elo_k = k
-        for _ in range(n(200)):
-            tournament.play_game()
+        play_n(tournament, n(200))
         print(tournament)
         save_checkpoint(ckpt(str(stage)), tournament)
 

@@ -41,13 +41,19 @@ from ..engine.state import EnvConfig
 from ..nets import MLPSpec, mlp_init
 from .base import Agent, pad_cards
 from .reinforce import action_in_input_logits
-from .search import build_root_state, make_playout_fn
+from .search import build_root_states_batch, make_playout_fn
+
+# Playout-call shaping for the cross-game block path: totals above PLAYOUT_CHUNK
+# run as exact fixed-size chunks (one compiled shape), the remainder pads up to
+# a power of two (bounded compile count, <=2x padding waste).
+PLAYOUT_CHUNK = 16384
 
 
 class BaseMCAgent(Agent):
     """Shared search scaffolding: card memory, determinization, batching."""
 
     playout_policy = "uniform"
+    batched_forward = True  # block driver may route through forward_many
 
     def __init__(
         self,
@@ -87,6 +93,53 @@ class BaseMCAgent(Agent):
             return legal_actions[0], {"log_prob": 0.0, "step_record": self._record(state, legal_actions, 0)}
         return self._mcts(legal_actions, state)
 
+    def forward_many(self, states, legal_lists, memories):
+        """Batched forward across concurrent games (the block driver's path).
+
+        One call decides this agent's move in MANY simultaneous games:
+        per-game card memory lives in the caller-threaded ``memories`` dicts
+        (:func:`new_memory`), and every playout round batches all games'
+        determinized playouts into a single device program.  Root semantics
+        per game are identical to :meth:`forward` -- same memory updates,
+        same round structure (``batch_playouts`` chunks for PUCT), same
+        choice rules -- so a single-request call consumes the exact same
+        numpy/PRNG stream as the sequential path (tested).
+        """
+        results: List[Optional[tuple]] = [None] * len(states)
+        groups = {}
+        for i, (state, legal, mem) in enumerate(zip(states, legal_lists, memories)):
+            state = np.asarray(state, np.float32)
+            # Bind this game's memory to the instance attrs the single-game
+            # helpers use (host path is single-threaded), then write back.
+            self.available_cards = mem["available_cards"]
+            self.num_players = mem["num_players"]
+            n = len(legal)
+            if n == self.handsize:
+                self._initialize_game(state)
+            self._memorize_cards(state, legal)
+            mem["available_cards"] = self.available_cards
+            mem["num_players"] = self.num_players
+            if n == 1:
+                results[i] = (
+                    legal[0],
+                    {"log_prob": 0.0, "step_record": self._record(state, legal, 0)},
+                )
+            else:
+                groups.setdefault((mem["num_players"], n), []).append(
+                    (i, state, legal, mem)
+                )
+        for (num_players, n), group in groups.items():
+            for i, result in zip(
+                [g[0] for g in group], self._mcts_many(num_players, n, group)
+            ):
+                results[i] = result
+        return results
+
+    @staticmethod
+    def new_memory() -> dict:
+        """Fresh per-(game, seat) card memory for :meth:`forward_many`."""
+        return {"available_cards": [], "num_players": None}
+
     def learn(self, *args, **kwargs):
         raise NotImplementedError
 
@@ -111,58 +164,124 @@ class BaseMCAgent(Agent):
     # --------------------------------------------------------------- search
 
     def _mcts(self, legal_actions, state):
-        n = len(legal_actions)
-        n_mc = self._compute_n_mc(n)
-        outcomes = {a: [] for a in legal_actions}
-        root_log_probs = self._root_log_probs(state, legal_actions)
+        """Single-game search = the cross-game path with one request."""
+        mem = {"available_cards": self.available_cards, "num_players": self.num_players}
+        group = [(0, np.asarray(state, np.float32), legal_actions, mem)]
+        return self._mcts_many(self.num_players, len(legal_actions), group)[0]
 
+    def _mcts_many(self, num_players: int, n: int, group):
+        """Cross-game search: one playout program per round for ALL games.
+
+        ``group`` is a list of ``(idx, state, legal_actions, memory)`` tuples
+        sharing player count and hand size (the block driver's lockstep
+        guarantee).  Per game the root logic -- round structure, first-move
+        choice, outcome bookkeeping -- is exactly :meth:`_mcts`; only the
+        playout execution is fused across games.
+        """
+        G = len(group)
+        n_mc = self._compute_n_mc(n)
         env_cfg = EnvConfig(
-            num_players=self.num_players,
+            num_players=num_players,
             num_rows=self.num_rows,
             num_cards=self.num_cards,
             threshold=self.threshold,
             include_summaries=self.include_summaries,
         )
         playout = make_playout_fn(env_cfg, self.playout_policy, self._playout_spec())
-        board_rows = self._board_from_state(state, flatten=False)
+        boards = [self._board_from_state(state, flatten=False) for _, state, _, _ in group]
+        my_hands = [list(legal) for _, _, legal, _ in group]
+        outcomes = [{a: [] for a in legal} for _, _, legal, _ in group]
+        rlps = [self._root_log_probs(state, legal) for _, state, legal, _ in group]
 
         remaining = n_mc
         batch = self.batch_playouts or n_mc
         while remaining > 0:
             K = min(batch, remaining)
-            first = self._choose_first_moves(K, legal_actions, outcomes, root_log_probs)
-            opp = self._deal_opponent_hands(K, n)
-            states0 = build_root_state(env_cfg, board_rows, list(legal_actions), opp)
-            # Keys come from the CPU-pinned agent RNG; stage them onto the
-            # playout device so committed-device placement stays consistent.
-            keys = jax.device_put(jax.random.split(self.next_key(), K), jax.devices()[0])
-            rets = np.asarray(
-                playout(
-                    self._playout_params(),
-                    states0,
-                    jnp.asarray(first, jnp.int32),
-                    jnp.asarray(n, jnp.int32),
-                    keys,
-                )
-            )
-            for a, r in zip(first, rets):
-                outcomes[int(a)].append(float(r))
+            firsts = np.stack(
+                [
+                    self._choose_first_moves(K, group[g][2], outcomes[g], rlps[g])
+                    for g in range(G)
+                ]
+            )  # [G, K]
+            opp = np.stack(
+                [
+                    self._deal_opponent_hands(
+                        K, n, pool=group[g][3]["available_cards"], num_players=num_players
+                    )
+                    for g in range(G)
+                ]
+            )  # [G, K, P-1, n]
+            states0 = build_root_states_batch(env_cfg, boards, my_hands, opp)
+            rets = self._run_playout_batch(playout, states0, firsts.reshape(-1), n)
+            rets = rets.reshape(G, K)
+            for g in range(G):
+                for a, r in zip(firsts[g], rets[g]):
+                    outcomes[g][int(a)].append(float(r))
             remaining -= K
 
-        action, info = self._choose_action_from_outcomes(outcomes, root_log_probs)
-        idx = list(legal_actions).index(action)
-        info["step_record"] = self._record(state, legal_actions, idx)
-        return action, info
+        results = []
+        for g, (_, state, legal, _) in enumerate(group):
+            action, info = self._choose_action_from_outcomes(outcomes[g], rlps[g])
+            idx = list(legal).index(action)
+            info["step_record"] = self._record(state, legal, idx)
+            results.append((action, info))
+        return results
+
+    def _run_playout_batch(self, playout, states0, first, n) -> np.ndarray:
+        """Run B playouts through fixed-size chunks + one pow2-padded tail.
+
+        Chunking keeps compiled-shape count bounded (one program for the
+        ``PLAYOUT_CHUNK`` body, <=12 pow2 buckets for tails) while padding
+        waste stays under 2x of the tail only.  Pad rows repeat the last real
+        playout and their returns are discarded.
+        """
+        B = first.shape[0]
+        params = self._playout_params()
+        n_turns = jnp.asarray(n, jnp.int32)
+        device = jax.devices()[0]
+        rets = np.empty(B, np.float32)
+        sliced = lambda sl: jax.tree.map(lambda x: x[sl], states0)
+
+        start = 0
+        while B - start > PLAYOUT_CHUNK:
+            sl = slice(start, start + PLAYOUT_CHUNK)
+            keys = jax.device_put(
+                jax.random.split(self.next_key(), PLAYOUT_CHUNK), device
+            )
+            rets[sl] = np.asarray(
+                playout(params, sliced(sl), jnp.asarray(first[sl], jnp.int32), n_turns, keys)
+            )
+            start += PLAYOUT_CHUNK
+
+        rem = B - start
+        bucket = max(8, 1 << (rem - 1).bit_length())
+        pad = bucket - rem
+        sl = slice(start, B)
+        tail = jax.tree.map(
+            lambda x: np.concatenate([x[sl], np.repeat(x[B - 1 : B], pad, axis=0)])
+            if pad
+            else x[sl],
+            states0,
+        )
+        first_tail = np.concatenate([first[sl], np.repeat(first[B - 1 : B], pad)])
+        keys = jax.device_put(jax.random.split(self.next_key(), bucket), device)
+        rets[sl] = np.asarray(
+            playout(params, tail, jnp.asarray(first_tail, jnp.int32), n_turns, keys)
+        )[:rem]
+        return rets
 
     def _compute_n_mc(self, n_actions: int) -> int:
         return min(self.mc_max, self.mc_per_card * math.factorial(n_actions))
 
-    def _deal_opponent_hands(self, K: int, n: int) -> np.ndarray:
+    def _deal_opponent_hands(self, K: int, n: int, pool=None, num_players=None) -> np.ndarray:
         """K determinizations: (P-1) sorted hands of n unseen cards each."""
-        pool = np.asarray(self.available_cards, dtype=np.int64)
+        pool = np.asarray(
+            self.available_cards if pool is None else pool, dtype=np.int64
+        )
+        P = self.num_players if num_players is None else num_players
         perms = np.argsort(np.random.random((K, pool.shape[0])), axis=1)
-        need = (self.num_players - 1) * n
-        picked = pool[perms[:, :need]].reshape(K, self.num_players - 1, n)
+        need = (P - 1) * n
+        picked = pool[perms[:, :need]].reshape(K, P - 1, n)
         return np.sort(picked, axis=2)
 
     def _choose_action_from_outcomes(self, outcomes, root_log_probs):
@@ -370,6 +489,11 @@ class PUCTAgent(PolicyMCSAgent):
 
 class PUCTCustomedAgent(PUCTAgent):
     """Playout-free PUCT variant with a (pi, V) net (mcts.py:325-451)."""
+
+    # No playouts to batch: decisions are one tiny (pi, V) forward each, so
+    # the block driver calls plain forward per game.  (The interleaved card
+    # memory this leaves on the instance is never read by _nn_choice.)
+    batched_forward = False
 
     def __init__(self, hidden_sizes: Tuple[int, ...] = (100, 100), **kwargs):
         super().__init__(hidden_sizes=hidden_sizes, **kwargs)

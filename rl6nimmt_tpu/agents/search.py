@@ -89,6 +89,52 @@ def make_playout_fn(cfg: EnvConfig, policy: str, spec: MLPSpec | None):
     return jax.jit(batched)
 
 
+def build_root_states_batch(
+    cfg: EnvConfig,
+    boards_rows: list,
+    my_hands: list,
+    opponent_hands: np.ndarray,
+) -> EnvState:
+    """Assemble root states for G games x K determinizations each.
+
+    Cross-game generalization of :func:`build_root_state` for the block
+    driver: ``boards_rows[g]`` / ``my_hands[g]`` describe game ``g``'s shared
+    board and searcher hand, ``opponent_hands`` is ``int64[G, K, P-1, n]``.
+    Returns a game-major ``[G*K]``-batched :class:`EnvState` of host numpy
+    arrays (transferred on first jit use).
+    """
+    G, K, Pm1, n = opponent_hands.shape
+    R, T, P, C, H = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.num_cards, cfg.hand_size
+    assert Pm1 == P - 1 and len(boards_rows) == G and len(my_hands) == G
+
+    board = np.full((G, R, T), -1, dtype=np.int32)
+    row_len = np.zeros((G, R), dtype=np.int32)
+    hands = np.zeros((G, K, P, C), dtype=bool)
+    hands_sorted = np.full((G, K, P, H), -1, dtype=np.int32)
+    for g in range(G):
+        for r, cards in enumerate(boards_rows[g]):
+            board[g, r, : len(cards)] = cards
+            row_len[g, r] = len(cards)
+        hands[g, :, 0, list(my_hands[g])] = True
+        hands_sorted[g, :, 0, : len(my_hands[g])] = sorted(my_hands[g])
+
+    g_idx = np.repeat(np.arange(G), K * Pm1 * n)
+    k_idx = np.tile(np.repeat(np.arange(K), Pm1 * n), G)
+    p_idx = np.tile(np.repeat(np.arange(1, P), n), G * K)
+    hands[g_idx, k_idx, p_idx, opponent_hands.reshape(-1)] = True
+    hands_sorted[:, :, 1:, :n] = np.sort(opponent_hands, axis=3)
+
+    B = G * K
+    return EnvState(
+        board=np.repeat(board, K, axis=0),
+        row_len=np.repeat(row_len, K, axis=0),
+        hands=hands.reshape(B, P, C),
+        hands_sorted=hands_sorted.reshape(B, P, H),
+        scores=np.zeros((B, P), np.int32),
+        turn=np.zeros((B,), np.int32),
+    )
+
+
 def build_root_state(
     cfg: EnvConfig,
     board_rows: list,
@@ -98,34 +144,7 @@ def build_root_state(
     """Assemble a K-batched mid-game EnvState for one determinization batch.
 
     ``opponent_hands`` is ``int64[K, P-1, n]`` of card ids per playout; the
-    board and player-0 hand are shared across the batch.
+    board and player-0 hand are shared across the batch.  (Single-game
+    convenience over :func:`build_root_states_batch`.)
     """
-    K = opponent_hands.shape[0]
-    R, T, P, C = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.num_cards
-
-    board = np.full((R, T), -1, dtype=np.int32)
-    row_len = np.zeros(R, dtype=np.int32)
-    for r, cards in enumerate(board_rows):
-        board[r, : len(cards)] = cards
-        row_len[r] = len(cards)
-
-    hands = np.zeros((K, P, C), dtype=bool)
-    hands[:, 0, my_hand] = True
-    k_idx = np.repeat(np.arange(K), (P - 1) * opponent_hands.shape[2])
-    p_idx = np.tile(np.repeat(np.arange(1, P), opponent_hands.shape[2]), K)
-    hands[k_idx, p_idx, opponent_hands.reshape(-1)] = True
-
-    n = opponent_hands.shape[2]
-    H = cfg.hand_size
-    hands_sorted = np.full((K, P, H), -1, dtype=np.int32)
-    hands_sorted[:, 0, : len(my_hand)] = sorted(my_hand)
-    hands_sorted[:, 1:, :n] = np.sort(opponent_hands, axis=2)
-
-    return EnvState(
-        board=jnp.asarray(np.broadcast_to(board, (K, R, T))),
-        row_len=jnp.asarray(np.broadcast_to(row_len, (K, R))),
-        hands=jnp.asarray(hands),
-        hands_sorted=jnp.asarray(hands_sorted),
-        scores=jnp.zeros((K, P), jnp.int32),
-        turn=jnp.zeros((K,), jnp.int32),
-    )
+    return build_root_states_batch(cfg, [board_rows], [my_hand], opponent_hands[None])

@@ -282,10 +282,25 @@ def batched(fn, cfg: EnvConfig, **vmap_kwargs):
 
 @functools.lru_cache(maxsize=None)
 def jitted_core(cfg: EnvConfig):
-    """Compiled (deal, step, observe, init_from_deck) for a single game."""
-    return (
-        jax.jit(functools.partial(deal, cfg)),
-        jax.jit(functools.partial(step, cfg)),
-        jax.jit(functools.partial(observe, cfg)),
-        jax.jit(functools.partial(init_from_deck, cfg)),
-    )
+    """Compiled (deal, step, observe, init_from_deck) for a single game.
+
+    Pinned to the host CPU device when one exists: this is the interactive
+    path's engine (one tiny single-game call per decision), and on tunneled
+    accelerator backends each default-device call would pay a full dispatch
+    round trip.  Batched work (vmapped rollouts, search playouts) uses the
+    functional core directly on the default device instead.
+    """
+    try:
+        device = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        device = None
+
+    def pin(fn):
+        jitted = jax.jit(functools.partial(fn, cfg))
+        if device is None:
+            return jitted
+        # Committing the inputs pins the computation (device= on jit is
+        # deprecated); host numpy -> CPU device_put is a local copy.
+        return lambda *args: jitted(*jax.device_put(args, device))
+
+    return (pin(deal), pin(step), pin(observe), pin(init_from_deck))

@@ -16,7 +16,6 @@ import logging
 from typing import List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .cards import format_card
@@ -50,7 +49,7 @@ class SechsNimmtEnv:
         self._player_names = list(player_names) if player_names is not None else None
         self.verbose = verbose
         self._deal, self._step, self._observe, self._init_from_deck = jitted_core(self.config)
-        self._key = jax.random.key(np.random.randint(0, 2**31 - 1) if seed is None else seed)
+        self.seed(np.random.randint(0, 2**31 - 1) if seed is None else seed)
         self._state: Optional[EnvState] = None
 
         # Reference-compatible metadata (env.py:34-39).
@@ -62,6 +61,10 @@ class SechsNimmtEnv:
 
     def seed(self, seed: int) -> None:
         self._key = jax.random.key(seed)
+        try:  # keep host-side key splits off tunneled accelerator backends
+            self._key = jax.device_put(self._key, jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            pass
 
     def reset(self):
         self._key, sub = jax.random.split(self._key)
@@ -70,7 +73,7 @@ class SechsNimmtEnv:
 
     def reset_with_deck(self, deck: Sequence[int]):
         """Deal deterministically from an explicit deck (parity mode)."""
-        self._state = self._init_from_deck(jnp.asarray(deck, dtype=jnp.int32))
+        self._state = self._init_from_deck(np.asarray(deck, dtype=np.int32))
         return self._states_tuple()
 
     def reset_to(self, board: Sequence[Sequence[int]], hands: Sequence[Sequence[int]]):
@@ -87,12 +90,12 @@ class SechsNimmtEnv:
             hand_mask[p, list(cards)] = True
             hands_sorted[p, : len(cards)] = sorted(cards)
         self._state = EnvState(
-            board=jnp.asarray(b),
-            row_len=jnp.asarray(row_len),
-            hands=jnp.asarray(hand_mask),
-            hands_sorted=jnp.asarray(hands_sorted),
-            scores=jnp.zeros((cfg.num_players,), dtype=jnp.int32),
-            turn=jnp.zeros((), dtype=jnp.int32),
+            board=b,
+            row_len=row_len,
+            hands=hand_mask,
+            hands_sorted=hands_sorted,
+            scores=np.zeros((cfg.num_players,), dtype=np.int32),
+            turn=np.zeros((), dtype=np.int32),
         )
         return self._states_tuple()
 
@@ -106,7 +109,10 @@ class SechsNimmtEnv:
                 raise InvalidMoveException(
                     f"Player {p + 1} tried to play card {card + 1}, but their hand is {held}"
                 )
-        self._state, rewards = self._step(self._state, jnp.asarray(actions, dtype=jnp.int32))
+        # Plain numpy input: the pinned jit transfers host->CPU directly
+        # (jnp.asarray would build it on the default device first -- a full
+        # tunnel round trip per step on remote accelerator backends).
+        self._state, rewards = self._step(self._state, np.asarray(actions, dtype=np.int32))
         return self._states_tuple(), np.asarray(rewards), bool(is_done(self._state)), {}
 
     # ------------------------------------------------------------ inspection

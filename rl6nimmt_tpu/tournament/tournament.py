@@ -163,6 +163,24 @@ class Tournament:
         session.play_game(render=False)
         self.score_game(agent_names, session.results[0])
 
+    def play_block(self, n_games: int, num_players: Optional[int] = None) -> None:
+        """Play ``n_games`` in lockstep with cross-game batched search acting.
+
+        Lineup sampling and scoring are identical to ``n_games`` sequential
+        :meth:`play_game` calls; games run through
+        :class:`~rl6nimmt_tpu.runtime.block.BlockSession`, which batches all
+        search agents' playouts across games (orders of magnitude faster for
+        search-heavy populations) and replays learning + ELO updates in game
+        order at block end (the bounded-staleness deviation documented
+        there).  ``play_block(1)`` reproduces sequential semantics exactly.
+        """
+        from ..runtime.block import BlockSession
+
+        picks = [self._choose_players(num_players) for _ in range(n_games)]
+        scores = BlockSession([agents for _, agents in picks]).play()
+        for (names, _), game_scores in zip(picks, scores):
+            self.score_game(names, game_scores)
+
     def score_game(self, agent_names, scores) -> None:
         scores = np.asarray(scores)
         relative_positions = self._compute_relative_positions(scores)
