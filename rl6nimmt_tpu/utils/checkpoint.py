@@ -12,7 +12,10 @@ agent modules through a temp file (cloning, tournament.py:54-60) and
   atomically (tmp file + rename);
 * :func:`save_params` / :func:`load_params` store bare parameter pytrees in a
   portable flat-``npz`` format (no pickle on the load path) for exchanging
-  weights between training runs.
+  weights between training runs;
+* :func:`save_params_orbax` / :func:`load_params_orbax` store the same
+  pytrees through Orbax (tensorstore-backed, the standard JAX checkpoint
+  format for multi-host runs — every process writes its addressable shards).
 """
 
 from __future__ import annotations
@@ -69,6 +72,45 @@ def load_params(path: str, like: Any) -> Any:
             assert arr.shape == np.shape(leaf), (name, arr.shape, np.shape(leaf))
             loaded.append(arr)
     return jax.tree_util.tree_unflatten(treedef, loaded)
+
+
+def save_params_orbax(path: str, params: Any) -> None:
+    """Save a parameter pytree as an Orbax (tensorstore) checkpoint directory.
+
+    Overwrites ``path`` if it exists.  Unlike the npz format this scales to
+    sharded multi-host params: under ``jax.distributed`` each process writes
+    only its addressable shards.
+    """
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        ckptr.save(path, params)
+
+
+def load_params_orbax(path: str, like: Any) -> Any:
+    """Restore an Orbax checkpoint into the structure of ``like``.
+
+    Leaves come back as host numpy arrays (like :func:`load_params`); restoring
+    to explicit ``np.ndarray`` avoids needing device shardings at load time, so
+    the same checkpoint restores on any backend (or none).
+    """
+    import orbax.checkpoint as ocp
+
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), like
+    )
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(path), item=like, restore_args=restore_args
+        )
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(like)):
+        assert np.shape(a) == np.shape(b), (np.shape(a), np.shape(b))
+    return restored
 
 
 def _path_str(entry) -> str:

@@ -49,6 +49,36 @@ def test_params_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_params_orbax_roundtrip(tmp_path):
+    from rl6nimmt_tpu.utils import load_params_orbax, save_params_orbax
+
+    spec = MLPSpec(input_size=8, hidden_sizes=(4,), head_sizes=(2,))
+    params = mlp_init(jax.random.key(0), spec)
+    path = str(tmp_path / "orbax_ckpt")
+    save_params_orbax(path, params)
+    like = jax.tree.map(jnp.zeros_like, params)
+    loaded = load_params_orbax(path, like)
+    assert jax.tree.structure(loaded) == jax.tree.structure(params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Overwrite semantics: saving again over the same path succeeds.
+    save_params_orbax(path, loaded)
+    reloaded = load_params_orbax(path, like)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(reloaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_iter_flatten_matches_reference_semantics():
+    from rl6nimmt_tpu.utils import iter_flatten
+
+    nested = [1, [2, (3, [4, 5])], np.array([6, 7]), "ab"]
+    assert list(iter_flatten(nested)) == [1, 2, 3, 4, 5, 6, 7, "ab"]
+    # max_depth limits recursion (reference various.py:64-72): depth 1 keeps
+    # sub-sub-structures intact.
+    flat1 = list(iter_flatten([[1, [2, 3]], [4]], max_depth=1))
+    assert flat1 == [1, [2, 3], 4]
+
+
 def test_dqn_agent_with_metric_logger(tmp_path):
     log_path = str(tmp_path / "metrics.jsonl")
     logger = MetricLogger(log_path)
