@@ -53,6 +53,7 @@ class BaseMCAgent(Agent):
     """Shared search scaffolding: card memory, determinization, batching."""
 
     playout_policy = "uniform"
+    root_strategy = "uniform"
     batched_forward = True  # block driver may route through forward_many
 
     def __init__(
@@ -65,10 +66,12 @@ class BaseMCAgent(Agent):
         mc_max: int = 100,
         include_summaries: bool = True,
         batch_playouts: Optional[int] = None,
+        device_root: bool = False,
         *args,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
+        self.device_root = device_root
         self.handsize = handsize
         self.num_rows = num_rows
         self.num_cards = num_cards
@@ -187,6 +190,8 @@ class BaseMCAgent(Agent):
             threshold=self.threshold,
             include_summaries=self.include_summaries,
         )
+        if self.device_root:
+            return self._mcts_many_device(env_cfg, n, n_mc, group)
         playout = make_playout_fn(env_cfg, self.playout_policy, self._playout_spec())
         boards = [self._board_from_state(state, flatten=False) for _, state, _, _ in group]
         my_hands = [list(legal) for _, _, legal, _ in group]
@@ -225,6 +230,74 @@ class BaseMCAgent(Agent):
             idx = list(legal).index(action)
             info["step_record"] = self._record(state, legal, idx)
             results.append((action, info))
+        return results
+
+    def _mcts_many_device(self, env_cfg: EnvConfig, n: int, n_mc: int, group):
+        """One device program decides every game of the group (device_root).
+
+        The whole decision — determinization, root selection, playout rounds,
+        outcome aggregation — runs inside a single jitted call
+        (:mod:`device_search`), so a block of G games costs ONE dispatch per
+        (agent, turn) instead of one per playout round per game.  Root
+        semantics match the host path; only the PRNG stream differs
+        (documented in PARITY.md).
+        """
+        from .device_search import make_device_decision_fn_many
+
+        if getattr(self, "temperature", None) is not None and self.temperature > 1e-12:
+            raise NotImplementedError(
+                "visit-count temperature sampling (parity: mcts.py:318-323)"
+            )
+        G = len(group)
+        R, T, C, H = self.num_rows, self.threshold, self.num_cards, self.handsize
+        boards = np.full((G, R, T), -1, np.int32)
+        row_lens = np.zeros((G, R), np.int32)
+        hands = np.full((G, H), -1, np.int32)
+        avails = np.zeros((G, C), bool)
+        obses = np.zeros((G, env_cfg.state_length), np.float32)
+        for g, (_, state, legal, mem) in enumerate(group):
+            for r, cards in enumerate(self._board_from_state(state, flatten=False)):
+                boards[g, r, : len(cards)] = cards
+                row_lens[g, r] = len(cards)
+            hands[g, :n] = sorted(legal)
+            avails[g, mem["available_cards"]] = True
+            obses[g] = state
+
+        # n / n_mc are traced scalars shared by the group: one compiled
+        # program covers every decision depth (see device_search docstring).
+        fn = make_device_decision_fn_many(
+            env_cfg,
+            self.playout_policy,
+            self._playout_spec(),
+            self.root_strategy,
+            self.mc_max,
+            self.batch_playouts or self.mc_max,
+            float(getattr(self, "c_puct", 0.0)),
+        )
+        # Agent keys live on the host CPU (interactive path); the decision
+        # program runs on the default (accelerator) device like the playouts.
+        keys = jax.device_put(
+            jax.random.split(self.next_key(), G), jax.devices()[0]
+        )
+        actions, logps = fn(
+            self._playout_params(), boards, row_lens, hands, n, n_mc, avails,
+            obses, keys,
+        )
+        actions, logps = np.asarray(actions), np.asarray(logps)
+
+        results = []
+        for g, (_, state, legal, _) in enumerate(group):
+            action = int(actions[g])
+            idx = list(legal).index(action)
+            results.append(
+                (
+                    action,
+                    {
+                        "log_prob": float(logps[g]),
+                        "step_record": self._record(state, legal, idx),
+                    },
+                )
+            )
         return results
 
     def _run_playout_batch(self, playout, states0, first, n) -> np.ndarray:
@@ -330,6 +403,7 @@ class PolicyMCSAgent(BaseMCAgent):
     """Learned playout policy + self-imitation updates (mcts.py:191-261)."""
 
     playout_policy = "net"
+    root_strategy = "policy"
 
     def __init__(
         self,
@@ -439,6 +513,8 @@ class PolicyMCSAgent(BaseMCAgent):
 
 class PUCTAgent(PolicyMCSAgent):
     """Alpha0.5: PUCT root selection over determinized playouts (mcts.py:264-323)."""
+
+    root_strategy = "puct"
 
     def __init__(self, c_puct: float = 2.0, temperature: Optional[float] = None, **kwargs):
         kwargs.setdefault("batch_playouts", 8)

@@ -47,18 +47,13 @@ def _policy_actions(spec: MLPSpec, params, cfg: EnvConfig, state: EnvState, obs,
     return onehot_select(hands, idx.astype(jnp.int32)).astype(jnp.int32)
 
 
-@functools.lru_cache(maxsize=None)
-def make_playout_fn(cfg: EnvConfig, policy: str, spec: MLPSpec | None):
-    """Compile ``(params, states0, first_actions, n_turns, key) -> f32[K]``.
+def make_single_playout(cfg: EnvConfig, policy: str, spec: MLPSpec | None):
+    """The un-vmapped playout body shared by :func:`make_playout_fn` and the
+    fully-device decision programs (:mod:`device_search`).
 
-    ``states0`` is a K-batched :class:`EnvState`; ``first_actions[k]`` is
-    forced as player 0's move on the first turn of playout ``k``; the result
-    is player 0's summed reward over ``n_turns`` turns (mcts.py:129-154).
-
-    ``n_turns`` is a *traced* scalar: the scan always runs ``hand_size``
-    iterations and masks the tail, so one compiled program serves every
-    remaining-hand size (vs. one slow tunnel compile per decision depth).
-    """
+    ``(params, state0, first_action, n_turns, key) -> f32`` — player 0's
+    summed reward over ``n_turns`` turns from ``state0`` with the first own
+    move forced (mcts.py:129-154)."""
 
     def single(params, state0: EnvState, first_action, n_turns, key):
         def turn(carry, t):
@@ -85,6 +80,22 @@ def make_playout_fn(cfg: EnvConfig, policy: str, spec: MLPSpec | None):
         )
         return ret
 
+    return single
+
+
+@functools.lru_cache(maxsize=None)
+def make_playout_fn(cfg: EnvConfig, policy: str, spec: MLPSpec | None):
+    """Compile ``(params, states0, first_actions, n_turns, key) -> f32[K]``.
+
+    ``states0`` is a K-batched :class:`EnvState`; ``first_actions[k]`` is
+    forced as player 0's move on the first turn of playout ``k``; the result
+    is player 0's summed reward over ``n_turns`` turns (mcts.py:129-154).
+
+    ``n_turns`` is a *traced* scalar: the scan always runs ``hand_size``
+    iterations and masks the tail, so one compiled program serves every
+    remaining-hand size (vs. one slow tunnel compile per decision depth).
+    """
+    single = make_single_playout(cfg, policy, spec)
     batched = jax.vmap(single, in_axes=(None, 0, 0, None, 0))
     return jax.jit(batched)
 
