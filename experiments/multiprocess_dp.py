@@ -174,18 +174,26 @@ def launch(args) -> int:
         )
 
     results, failed = [], False
-    for pid, proc in enumerate(procs):
-        out, _ = proc.communicate(timeout=args.timeout)
-        for line in out.splitlines():
-            if line.startswith("RESULT "):
-                results.append(json.loads(line[len("RESULT ") :]))
-                break
-        else:
-            failed = True
-            print(f"--- worker {pid} produced no RESULT (rc={proc.returncode}) ---")
-            print(out[-4000:])
-        if proc.returncode != 0:
-            failed = True
+    try:
+        for pid, proc in enumerate(procs):
+            out, _ = proc.communicate(timeout=args.timeout)
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    results.append(json.loads(line[len("RESULT ") :]))
+                    break
+            else:
+                failed = True
+                print(f"--- worker {pid} produced no RESULT (rc={proc.returncode}) ---")
+                print(out[-4000:])
+            if proc.returncode != 0:
+                failed = True
+    finally:
+        # A hung worker (e.g. stale coordinator port) must not orphan the
+        # rest blocked in Gloo collectives: kill whatever is still alive.
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
 
     if failed or len(results) != args.num_processes:
         print(json.dumps({"ok": False}))

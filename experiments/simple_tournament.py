@@ -41,6 +41,10 @@ def main(argv=None):
                         help="games per lockstep block (1 = sequential reference "
                              "protocol; larger blocks batch search playouts "
                              "across games via Tournament.play_block)")
+    parser.add_argument("--device-root", action="store_true",
+                        help="run each search decision as one device program "
+                             "(agents/device_search.py) instead of host-root "
+                             "with per-round device playouts")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -79,8 +83,12 @@ def main(argv=None):
             history_length=int(1e5), n_steps=10, seed=args.seed + 1
         ),
         "ACER": BatchedACERAgent(minibatch=10, seed=args.seed + 2),
-        "MCS": MCSAgent(mc_max=args.mc_max, seed=args.seed + 3),
-        "Alpha0.5": PUCTAgent(mc_max=args.mc_max, seed=args.seed + 4),
+        "MCS": MCSAgent(
+            mc_max=args.mc_max, device_root=args.device_root, seed=args.seed + 3
+        ),
+        "Alpha0.5": PUCTAgent(
+            mc_max=args.mc_max, device_root=args.device_root, seed=args.seed + 4
+        ),
     }
     for agent in agents.values():
         try:

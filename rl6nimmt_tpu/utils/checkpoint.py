@@ -79,17 +79,14 @@ def save_params_orbax(path: str, params: Any) -> None:
 
     Overwrites ``path`` if it exists.  Unlike the npz format this scales to
     sharded multi-host params: under ``jax.distributed`` each process writes
-    only its addressable shards.
+    only its addressable shards.  Overwrite is delegated to Orbax
+    (``force=True``), which deletes on the primary process and barriers —
+    a manual exists+rmtree here would race across processes.
     """
-    import shutil
-
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
-    if os.path.exists(path):
-        shutil.rmtree(path)
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-        ckptr.save(path, params)
+        ckptr.save(os.path.abspath(path), params, force=True)
 
 
 def load_params_orbax(path: str, like: Any) -> Any:
