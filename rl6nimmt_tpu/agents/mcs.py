@@ -274,16 +274,21 @@ class BaseMCAgent(Agent):
             self.batch_playouts or self.mc_max,
             float(getattr(self, "c_puct", 0.0)),
         )
+        # Pad the game axis to a power-of-two bucket: block group sizes vary
+        # per turn (1..block), and each distinct vmap width is a separate
+        # compile of a large program — ruinous through a remote-device tunnel.
+        B = max(1, 1 << (G - 1).bit_length())
+        pad = lambda x: np.concatenate([x, np.repeat(x[-1:], B - G, axis=0)]) if B > G else x
         # Agent keys live on the host CPU (interactive path); the decision
         # program runs on the default (accelerator) device like the playouts.
         keys = jax.device_put(
-            jax.random.split(self.next_key(), G), jax.devices()[0]
+            jax.random.split(self.next_key(), B), jax.devices()[0]
         )
         actions, logps = fn(
-            self._playout_params(), boards, row_lens, hands, n, n_mc, avails,
-            obses, keys,
+            self._playout_params(), pad(boards), pad(row_lens), pad(hands), n,
+            n_mc, pad(avails), pad(obses), keys,
         )
-        actions, logps = np.asarray(actions), np.asarray(logps)
+        actions, logps = np.asarray(actions)[:G], np.asarray(logps)[:G]
 
         results = []
         for g, (_, state, legal, _) in enumerate(group):
