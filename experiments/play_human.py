@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("--mc-max", type=int, default=800)
     parser.add_argument("--checkpoint", default=None,
                         help="tournament pickle; its best agent becomes the opponent")
+    parser.add_argument("--device-root", action="store_true",
+                        help="run each Alpha0.5 decision as one device program "
+                             "(fast interactive play, agents/device_search.py)")
     parser.add_argument("--platform", type=str, default=None,
                         help="force JAX platform (e.g. cpu)")
     args = parser.parse_args(argv)
@@ -44,7 +47,7 @@ def main(argv=None):
         opponent = tournament.winner()
         print(f"Loaded opponent {getattr(opponent, '__name__', '?')} from {args.checkpoint}")
     else:
-        opponent = PUCTAgent(mc_max=args.mc_max)
+        opponent = PUCTAgent(mc_max=args.mc_max, device_root=args.device_root)
         opponent.__name__ = "Alpha0.5"
     if hasattr(opponent, "mc_max"):
         opponent.mc_max = args.mc_max
