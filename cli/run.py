@@ -24,13 +24,14 @@ rl6nimmt_tpu.enable_compilation_cache()
 import numpy as np
 
 
-def build_agent(name: str, mc_max: int, seed: int):
+def build_agent(name: str, mc_max: int, seed: int, device_root: bool = False):
     from rl6nimmt_tpu.agents import AGENTS, BaseMCAgent
 
     cls = AGENTS[name]
     kwargs = {"seed": seed}
     if issubclass(cls, BaseMCAgent):
         kwargs["mc_max"] = mc_max
+        kwargs["device_root"] = device_root
     if name == "noisy_d3qn_prb_nstep" or name == "d3qn_prb_nstep":
         kwargs.update(history_length=100_000, n_steps=10)
     return cls(**kwargs)
@@ -56,6 +57,9 @@ def main(argv=None):
                         help="play each block in lockstep with cross-game batched "
                              "search playouts (Tournament.play_block; evolve "
                              "cadence is respected at block boundaries)")
+    parser.add_argument("--device-root", action="store_true",
+                        help="run each search decision as one device program "
+                             "(agents/device_search.py)")
     parser.add_argument("--platform", type=str, default=None,
                         help="force JAX platform (e.g. cpu)")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -80,7 +84,8 @@ def main(argv=None):
             min_players=args.min_players, max_players=args.max_players, elo_k=args.elo_k
         )
         for i, name in enumerate(args.agents):
-            agent = build_agent(name, args.mc_max, seed=args.seed + i)
+            agent = build_agent(name, args.mc_max, seed=args.seed + i,
+                                device_root=args.device_root)
             try:
                 agent.train()
             except Exception:
