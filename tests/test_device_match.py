@@ -1,0 +1,33 @@
+"""Fully-device matches (runtime/device_match.py)."""
+
+import jax
+import numpy as np
+
+from rl6nimmt_tpu.engine.state import EnvConfig
+from rl6nimmt_tpu.nets import MLPSpec, mlp_init
+from rl6nimmt_tpu.runtime.device_match import make_device_match_fn
+
+
+def test_device_match_shapes_and_strength():
+    cfg = EnvConfig(num_players=2)
+    fn = make_device_match_fn(cfg, ("uniform", "random"), None, num_games=24, mc_max=24)
+    scores = np.asarray(fn((None, None), jax.random.key(0)))
+    assert scores.shape == (24, 2)
+    assert (scores <= 0).all()
+    # Determinized MC search must dominate a random seat.
+    assert (scores[:, 0] >= scores[:, 1]).mean() > 0.6
+
+
+def test_device_match_puct_roster_runs():
+    cfg = EnvConfig(num_players=3)
+    spec = MLPSpec(input_size=cfg.state_length + 1, head_sizes=(1,))
+    params = mlp_init(jax.random.key(1), spec)
+    fn = make_device_match_fn(
+        cfg, ("puct", "uniform", "random"), spec, num_games=4, mc_max=12, batch=4
+    )
+    scores = np.asarray(fn((params, None, None), jax.random.key(2)))
+    assert scores.shape == (4, 3)
+    assert np.isfinite(scores).all() and (scores <= 0).all()
+    # Different keys -> different matches.
+    scores2 = np.asarray(fn((params, None, None), jax.random.key(3)))
+    assert not np.array_equal(scores, scores2)
