@@ -25,6 +25,40 @@ from .state import EnvConfig, EnvState
 logger = logging.getLogger(__name__)
 
 
+class Discrete:
+    """Minimal stand-in for ``gym.spaces.Discrete`` (no gym dependency)."""
+
+    def __init__(self, n: int):
+        self.n = int(n)
+        self.shape = ()
+        self.dtype = np.int64
+
+    def contains(self, x) -> bool:
+        return 0 <= int(x) < self.n
+
+    def __repr__(self):
+        return f"Discrete({self.n})"
+
+
+class Box:
+    """Minimal stand-in for ``gym.spaces.Box`` (no gym dependency)."""
+
+    def __init__(self, low: float, high: float, shape, dtype=np.float32):
+        self.shape = tuple(shape)
+        self.dtype = dtype
+        self.low = np.full(self.shape, low, dtype)
+        self.high = np.full(self.shape, high, dtype)
+
+    def contains(self, x) -> bool:
+        x = np.asarray(x)
+        return x.shape == self.shape and bool(
+            np.all(x >= self.low) and np.all(x <= self.high)
+        )
+
+    def __repr__(self):
+        return f"Box({self.low.flat[0]}, {self.high.flat[0]}, {self.shape})"
+
+
 class SechsNimmtEnv:
     """Single-game 6 nimmt! environment backed by the TPU engine."""
 
@@ -52,10 +86,16 @@ class SechsNimmtEnv:
         self.seed(np.random.randint(0, 2**31 - 1) if seed is None else seed)
         self._state: Optional[EnvState] = None
 
-        # Reference-compatible metadata (env.py:34-39).
+        # Reference-compatible metadata (env.py:34-39).  The reference
+        # exposes gym spaces (Discrete(104), Box(-1, 2, (47,))); gym is not a
+        # dependency here, so minimal structural stand-ins carry the same
+        # attributes.  As in the reference, the Box bounds describe the
+        # *normalized* state -- raw observations are not clipped to them.
         self.num_actions = self.config.num_actions
         self.state_length = self.config.state_length
         self.reward_range = (-float("inf"), 0)
+        self.action_space = Discrete(self.config.num_actions)
+        self.observation_space = Box(-1.0, 2.0, (self.config.state_length,))
 
     # ------------------------------------------------------------------- API
 

@@ -147,6 +147,17 @@ def test_observation_layout_default():
     assert EnvConfig(num_players=4, include_summaries=False).state_length == 35
 
 
+def test_wrapper_space_metadata():
+    """Gym-style spaces match the reference's (env.py:34-39)."""
+    env = SechsNimmtEnv(4, verbose=False, seed=0)
+    assert env.action_space.n == 104
+    assert env.action_space.contains(103) and not env.action_space.contains(104)
+    assert env.observation_space.shape == (47,)
+    assert float(env.observation_space.low[0]) == -1.0
+    assert float(env.observation_space.high[0]) == 2.0
+    assert env.reward_range == (-float("inf"), 0)
+
+
 def test_done_semantics():
     cfg = EnvConfig(num_players=2)
     state = init_from_deck(cfg, jnp.arange(104, dtype=jnp.int32))
