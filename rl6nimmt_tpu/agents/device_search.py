@@ -246,6 +246,131 @@ def _make_decide(
     return decide
 
 
+KIND_RANDOM, KIND_UNIFORM, KIND_POLICY, KIND_PUCT = 0, 1, 2, 3
+
+
+@functools.lru_cache(maxsize=None)
+def _make_decide_unified(cfg: EnvConfig, spec: MLPSpec, max_n_mc: int, batch: int):
+    """Kind-TRACED decision program: one compile covers every agent family.
+
+    Same decision semantics as :func:`_make_decide`, but the root kind
+    (``KIND_RANDOM`` DrunkHamster / ``KIND_UNIFORM`` MCS / ``KIND_POLICY``
+    PolicyMCS / ``KIND_PUCT`` Alpha0.5) arrives as a traced int32 and
+    ``c_puct`` as a traced float, so heterogeneous tournament rosters share
+    ONE compiled program per (players, spec, mc_max ceiling, batch) instead
+    of one per roster combination — the compile count that matters when every
+    program crosses a remote-device tunnel.
+
+    Returns ``decide(params, kind, board, row_len, my_hand, n, n_mc, c_puct,
+    avail, obs, key) -> (action, log_prob, pick)`` where ``pick`` is the
+    chosen index into the padded hand (the ``step_record`` chosen idx).
+    Parity with the kind-static programs is bit-exact for equal keys: the
+    round key-split structure is identical, all root variants draw from the
+    same subkeys, and the mixed playout body selects between the uniform and
+    net move rules after drawing from the same subkey
+    (tests/test_device_tournament.py).  Random seats pass ``n_mc = 0`` (the
+    round loop never runs) and sample a uniform legal card from a post-loop
+    key.
+    """
+    P, C, H = cfg.num_players, cfg.num_cards, cfg.hand_size
+    K = min(batch, max_n_mc)
+    max_rounds = math.ceil(max_n_mc / K)
+    single = make_single_playout(cfg, "mixed", spec)
+
+    def build_state(board, row_len, my_hand, opp):
+        hands = jnp.zeros((P, C), bool)
+        hands = hands.at[0, jnp.where(my_hand >= 0, my_hand, C)].set(True, mode="drop")
+        hands = hands.at[
+            jnp.arange(1, P)[:, None], jnp.where(opp >= 0, opp, C)
+        ].set(True, mode="drop")
+        hands_sorted = jnp.concatenate([my_hand[None], opp], axis=0)
+        return EnvState(
+            board=board,
+            row_len=row_len,
+            hands=hands,
+            hands_sorted=hands_sorted,
+            scores=jnp.zeros((P,), jnp.int32),
+            turn=jnp.zeros((), jnp.int32),
+        )
+
+    def decide(params, kind, board, row_len, my_hand, n, n_mc, c_puct, avail, obs, key):
+        my_hand = my_hand.astype(jnp.int32)
+        board = board.astype(jnp.int32)
+        row_len = row_len.astype(jnp.int32)
+        valid = my_hand >= 0
+        net_root = kind >= KIND_POLICY  # policy/puct evaluate the prior net
+        logp_net = jax.nn.log_softmax(
+            action_in_input_logits(spec, params, obs, my_hand)
+        )
+        logp_uni = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+        logp = jnp.where(net_root, logp_net, logp_uni)
+        probs = jnp.where(
+            net_root,
+            jnp.exp(logp_net),
+            jnp.where(valid, 1.0 / n, 0.0).astype(jnp.float32),
+        )
+
+        rets_buf0 = jnp.zeros((max_rounds * K,), jnp.float32)
+        act_sum0 = jnp.zeros((H,), jnp.float32)
+        act_cnt0 = jnp.zeros((H,), jnp.float32)
+        n_turns = jnp.asarray(n, jnp.int32)
+        n_rounds = (n_mc + K - 1) // K
+
+        def round_body(r, carry):
+            rets_buf, act_sum, act_cnt, key = carry
+            key, k_first, k_deal, k_play = jax.random.split(key, 4)
+            completed = jnp.minimum(r * K, n_mc)
+            active = (r * K + jnp.arange(K)) < n_mc
+            q = _normalized_q(act_sum, act_cnt, rets_buf, completed)
+            # Same k_first feeds both root samplers; only one is kept.
+            samp = jax.random.categorical(
+                k_first,
+                jnp.broadcast_to(jnp.where(kind == KIND_POLICY, logp, logp_uni), (K, H)),
+                axis=-1,
+            ).astype(jnp.int32)
+            pucts = puct_select(q, probs, act_cnt, valid, active, c_puct)
+            firsts = jnp.where(kind == KIND_PUCT, pucts, samp)
+
+            deal_keys = jax.random.split(k_deal, K)
+            opp = jax.vmap(lambda k: deal_opponents(avail, k, P - 1, n, H))(deal_keys)
+            states0 = jax.vmap(lambda o: build_state(board, row_len, my_hand, o))(opp)
+            play_keys = jax.random.split(k_play, K)
+            rets = jax.vmap(single, in_axes=(None, 0, 0, None, 0, None))(
+                params, states0, my_hand[firsts], n_turns, play_keys, net_root
+            )
+
+            idx = r * K + jnp.arange(K)
+            rets_buf = rets_buf.at[jnp.where(active, idx, rets_buf.shape[0])].set(
+                rets, mode="drop"
+            )
+            hit = (firsts[:, None] == jnp.arange(H)[None, :]) & active[:, None]
+            act_sum = act_sum + jnp.sum(jnp.where(hit, rets[:, None], 0.0), axis=0)
+            act_cnt = act_cnt + jnp.sum(hit, axis=0).astype(jnp.float32)
+            return rets_buf, act_sum, act_cnt, key
+
+        rets_buf, act_sum, act_cnt, key = lax.fori_loop(
+            0, n_rounds, round_body, (rets_buf0, act_sum0, act_cnt0, key)
+        )
+
+        mean = jnp.where(act_cnt > 0, act_sum / jnp.maximum(act_cnt, 1), NEG_INF)
+        pick_search = jnp.argmax(mean).astype(jnp.int32)
+        # Random seats: uniform legal card from a post-loop key (the key
+        # stream up to here is untouched, preserving kind>=1 parity).
+        pick_random = jax.random.categorical(
+            jax.random.fold_in(key, 0), logp_uni
+        ).astype(jnp.int32)
+        pick = jnp.where(kind == KIND_RANDOM, pick_random, pick_search)
+        return my_hand[pick], logp[pick], pick
+
+    return decide
+
+
+@functools.lru_cache(maxsize=None)
+def make_unified_decision_fn(*key):
+    """Jitted single-seat unified decision (:func:`_make_decide_unified`)."""
+    return jax.jit(_make_decide_unified(*key))
+
+
 @functools.lru_cache(maxsize=None)
 def make_device_decision_fn(*key):
     """Jitted single-game decision (see :func:`_make_decide` for the args)."""

@@ -53,16 +53,30 @@ def make_single_playout(cfg: EnvConfig, policy: str, spec: MLPSpec | None):
 
     ``(params, state0, first_action, n_turns, key) -> f32`` — player 0's
     summed reward over ``n_turns`` turns from ``state0`` with the first own
-    move forced (mcts.py:129-154)."""
+    move forced (mcts.py:129-154).
 
-    def single(params, state0: EnvState, first_action, n_turns, key):
+    ``policy="mixed"`` serves the kind-traced tournament programs
+    (:mod:`..runtime.device_tournament`): the body takes one extra traced
+    bool ``use_net`` selecting per call between the uniform and the policy-net
+    move rule.  Both candidates draw from the SAME subkey, so a mixed body
+    with ``use_net`` fixed reproduces the corresponding pure body bit-for-bit.
+    """
+
+    def single(params, state0: EnvState, first_action, n_turns, key, use_net=None):
         def turn(carry, t):
             state, key, ret = carry
             key, sub = jax.random.split(key)
             obs, masks = observe(cfg, state)
             if policy == "uniform":
                 actions = _uniform_actions(masks, sub)
+            elif policy == "mixed":
+                actions = jnp.where(
+                    use_net,
+                    _policy_actions(spec, params, cfg, state, obs, sub),
+                    _uniform_actions(masks, sub),
+                )
             else:
+                assert policy == "net", policy
                 actions = _policy_actions(spec, params, cfg, state, obs, sub)
             actions = actions.at[0].set(
                 jnp.where(t == 0, first_action, actions[0]).astype(jnp.int32)

@@ -181,6 +181,44 @@ class Tournament:
         for (names, _), game_scores in zip(picks, scores):
             self.score_game(names, game_scores)
 
+    def play_device_block(self, n_games: int, num_players: Optional[int] = None) -> None:
+        """Play ``n_games`` with eligible lineups fused into device programs.
+
+        Lineup sampling and scoring are identical to :meth:`play_block`;
+        games whose every seat has a device decision (random / MCS /
+        PolicyMCS / PUCT, :func:`~rl6nimmt_tpu.runtime.device_tournament
+        .seat_kind`) run as COMPLETE games inside one kind-traced jitted
+        program per player count (deal, per-seat determinized search with
+        on-device card memory, resolution, all turns), with the search
+        learners' self-imitation updates replayed host-side from the
+        captured trajectories.  Remaining games (learners, humans,
+        PUCTCustomed) go through the host :class:`BlockSession`.  Parameter
+        staleness is bounded by the block, as in :meth:`play_block`
+        (PARITY.md deviations #10/#11).
+        """
+        from ..runtime.block import BlockSession
+        from ..runtime.device_tournament import DeviceBlockSession, device_lineup_eligible
+
+        picks = [self._choose_players(num_players) for _ in range(n_games)]
+        device_groups, host = {}, []
+        for j, (names, agents) in enumerate(picks):
+            if device_lineup_eligible(agents):
+                device_groups.setdefault(len(agents), []).append((j, agents))
+            else:
+                host.append((j, agents))
+
+        scores = {}
+        for _, group in sorted(device_groups.items()):
+            results = DeviceBlockSession([agents for _, agents in group]).play()
+            for (j, _), game_scores in zip(group, results):
+                scores[j] = game_scores
+        if host:
+            results = BlockSession([agents for _, agents in host]).play()
+            for (j, _), game_scores in zip(host, results):
+                scores[j] = game_scores
+        for j, (names, _) in enumerate(picks):
+            self.score_game(names, scores[j])
+
     def score_game(self, agent_names, scores) -> None:
         scores = np.asarray(scores)
         relative_positions = self._compute_relative_positions(scores)

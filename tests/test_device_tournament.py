@@ -1,0 +1,180 @@
+"""Device-block tournament driver: unified-decide parity + replay stream.
+
+Covers :mod:`rl6nimmt_tpu.runtime.device_tournament` and the kind-traced
+decision program (:func:`rl6nimmt_tpu.agents.device_search
+._make_decide_unified`):
+
+* the unified program with a FIXED kind is bit-identical to the kind-static
+  device-root programs (same key, same inputs) for all three search roots;
+* the host-side learning replay delivers the exact GameSession argument
+  stream (reward lag, episode_end cadence, legal lists, num_episode=0);
+* ``Tournament.play_device_block`` routes eligible lineups to the device
+  session and everything else through the host block driver.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from rl6nimmt_tpu.agents.device_search import (
+    KIND_POLICY,
+    KIND_PUCT,
+    KIND_RANDOM,
+    KIND_UNIFORM,
+    make_device_decision_fn,
+    make_unified_decision_fn,
+)
+from rl6nimmt_tpu.agents.mcs import MCSAgent, PUCTAgent
+from rl6nimmt_tpu.agents.random_agent import DrunkHamster
+from rl6nimmt_tpu.engine.env import deal, observe
+from rl6nimmt_tpu.engine.state import EnvConfig
+from rl6nimmt_tpu.nets import MLPSpec, mlp_init
+from rl6nimmt_tpu.runtime.device_tournament import (
+    DeviceBlockSession,
+    device_lineup_eligible,
+    seat_kind,
+)
+from rl6nimmt_tpu.tournament import Tournament
+
+MC_MAX, BATCH = 16, 4
+
+
+def _root_inputs(cfg, seed=0):
+    """Fresh-deal decision inputs for seat 0."""
+    state = deal(cfg, jax.random.key(seed))
+    obs, _ = observe(cfg, state)
+    my_hand = np.asarray(state.hands_sorted[0])
+    seen = np.zeros(cfg.num_cards, bool)
+    seen[np.asarray(state.board).reshape(-1)[np.asarray(state.board).reshape(-1) >= 0]] = True
+    avail = ~(seen | np.asarray(state.hands[0]))
+    return (
+        np.asarray(state.board),
+        np.asarray(state.row_len),
+        my_hand,
+        cfg.hand_size,
+        12,
+        avail,
+        np.asarray(obs[0]),
+    )
+
+
+@pytest.mark.parametrize(
+    "root,kind,playout",
+    [
+        ("uniform", KIND_UNIFORM, "uniform"),
+        ("policy", KIND_POLICY, "net"),
+        ("puct", KIND_PUCT, "net"),
+    ],
+)
+def test_unified_decide_matches_static(root, kind, playout):
+    cfg = EnvConfig(num_players=3)
+    spec = MLPSpec(input_size=cfg.state_length + 1, hidden_sizes=(16,), head_sizes=(1,))
+    params = mlp_init(jax.random.key(7), spec)
+    board, row_len, my_hand, n, n_mc, avail, obs = _root_inputs(cfg)
+    key = jax.random.key(42)
+
+    static = make_device_decision_fn(
+        cfg, playout, spec if playout == "net" else None, root, MC_MAX, BATCH, 2.0
+    )
+    unified = make_unified_decision_fn(cfg, spec, MC_MAX, BATCH)
+    a_ref, lp_ref = static(params, board, row_len, my_hand, n, n_mc, avail, obs, key)
+    a_uni, lp_uni, pick = unified(
+        params, kind, board, row_len, my_hand, n, n_mc, 2.0, avail, obs, key
+    )
+    assert int(a_uni) == int(a_ref)
+    assert float(lp_uni) == float(lp_ref)
+    assert int(my_hand[int(pick)]) == int(a_ref)
+
+
+def test_unified_random_kind_zero_budget():
+    cfg = EnvConfig(num_players=3)
+    spec = MLPSpec(input_size=cfg.state_length + 1, hidden_sizes=(16,), head_sizes=(1,))
+    params = jax.tree.map(lambda x: x * 0, mlp_init(jax.random.key(0), spec))
+    board, row_len, my_hand, n, _, avail, obs = _root_inputs(cfg, seed=5)
+    unified = make_unified_decision_fn(cfg, spec, MC_MAX, BATCH)
+    actions = {
+        int(
+            unified(
+                params, KIND_RANDOM, board, row_len, my_hand, n, 0, 0.0, avail, obs,
+                jax.random.key(k),
+            )[0]
+        )
+        for k in range(30)
+    }
+    legal = {int(c) for c in my_hand if c >= 0}
+    assert actions <= legal and len(actions) > 1  # random legal picks, varied
+
+
+class RecordingHamster(DrunkHamster):
+    """Eligible (KIND_RANDOM) seat that records its learn argument stream."""
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.calls = []
+
+    def learn(self, **kwargs):
+        self.calls.append(kwargs)
+        return 0.0
+
+
+def test_device_session_learn_stream_matches_gamesession_protocol():
+    np.random.seed(0)
+    rec = RecordingHamster(seed=1)
+    mcs = MCSAgent(seed=2, mc_max=8, mc_per_card=2)
+    sess = DeviceBlockSession([[rec, mcs, DrunkHamster(seed=3)]], batch=BATCH)
+    (scores,) = sess.play()
+
+    assert len(rec.calls) == 10
+    assert rec.calls[0]["reward"] == 0  # reward lag (play.py:29-72)
+    for t, call in enumerate(rec.calls):
+        assert call["num_episode"] == 0
+        assert call["episode_end"] == call["done"] == (t == 9)
+        assert len(call["legal_actions"]) == 10 - t
+        assert call["action"] in call["legal_actions"]
+        if t > 0:
+            assert call["reward"] == rec.calls[t - 1]["next_reward"]  # lag
+        if t < 9:
+            np.testing.assert_array_equal(
+                call["next_state"], rec.calls[t + 1]["state"]
+            )
+            assert call["next_legal_actions"] == rec.calls[t + 1]["legal_actions"]
+        else:
+            assert call["next_legal_actions"] == []
+    total = sum(int(c["next_reward"]) for c in rec.calls)
+    assert total == int(scores[0])  # trajectory rewards sum to the final score
+    assert all(s <= 0 for s in scores)
+
+
+def test_seat_kind_and_eligibility():
+    assert seat_kind(DrunkHamster()) == KIND_RANDOM
+    assert seat_kind(MCSAgent(mc_max=4)) == KIND_UNIFORM
+    assert seat_kind(PUCTAgent(mc_max=4)) == KIND_PUCT
+
+    from rl6nimmt_tpu.agents.dqn import DQNVanilla
+
+    dqn = DQNVanilla()
+    assert seat_kind(dqn) is None
+    assert device_lineup_eligible([DrunkHamster(), MCSAgent(mc_max=4)])
+    assert not device_lineup_eligible([DrunkHamster(), dqn])
+
+
+def test_tournament_play_device_block_mixed_population():
+    np.random.seed(7)
+    from rl6nimmt_tpu.agents.dqn import DQNVanilla
+
+    t = Tournament(min_players=2, max_players=3)
+    t.add_player("random", DrunkHamster(seed=1))
+    t.add_player("mcs", MCSAgent(seed=2, mc_max=8, mc_per_card=2))
+    puct = PUCTAgent(seed=3, mc_max=8, mc_per_card=2)
+    puct.train()
+    t.add_player("puct", puct)
+    dqn = DQNVanilla(seed=4, minibatch=4)
+    dqn.train()
+    t.add_player("dqn", dqn)
+
+    t.play_device_block(6)
+    assert t.total_games == 6
+    assert sum(t.played_games.values()) >= 12  # 2-3 seats per game
+    for name in t.agents:
+        assert len(t.elos[name]) == 1 + t.played_games[name]
+    assert str(t)  # ASCII table renders
