@@ -45,6 +45,11 @@ def main(argv=None):
                         help="run each search decision as one device program "
                              "(agents/device_search.py) instead of host-root "
                              "with per-round device playouts")
+    parser.add_argument("--device-blocks", action="store_true",
+                        help="run eligible lineups (random/search seats) as "
+                             "COMPLETE games inside one device program per "
+                             "player count (Tournament.play_device_block); "
+                             "learner games fall back to the host block driver")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -70,7 +75,14 @@ def main(argv=None):
     ckpt = lambda tag: str(Path(args.checkpoint_dir) / f".tournament{tag}.pickle")
 
     def play_n(tournament, games):
-        if args.block <= 1:
+        if args.device_blocks:
+            block = max(args.block, 1)
+            bucket = 1 << (block - 1).bit_length()  # fixed width incl. remainders
+            for start in range(0, games, block):
+                tournament.play_device_block(
+                    min(block, games - start), bucket=bucket
+                )
+        elif args.block <= 1:
             for _ in range(games):
                 tournament.play_game()
         else:

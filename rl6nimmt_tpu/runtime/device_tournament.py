@@ -207,12 +207,23 @@ class DeviceBlockSession:
     learning host-side (the device twin of :class:`..runtime.block
     .BlockSession` for eligible lineups)."""
 
-    def __init__(self, lineups: Sequence[Sequence], batch: int = 8):
+    def __init__(
+        self,
+        lineups: Sequence[Sequence],
+        batch: int = 8,
+        bucket: Optional[int] = None,
+    ):
         assert lineups, "need at least one game"
         P = len(lineups[0])
         assert all(len(l) == P for l in lineups), "uniform player count required"
         self.lineups = [list(agents) for agents in lineups]
         self.batch = batch
+        # Game-axis compile width: defaults to the pow2 ceiling of the group
+        # size; callers that split one block into per-player-count groups pass
+        # a FIXED bucket so every group (and every remainder block) reuses the
+        # same compiled program — compiles, not padded device compute, are
+        # the scarce resource over a remote-device tunnel.
+        self.bucket = bucket
         sigs = {_lineup_signature(agents) for agents in self.lineups}
         assert None not in sigs, "ineligible lineup (use BlockSession)"
         cfgs = {cfg for cfg, _ in sigs}
@@ -228,7 +239,8 @@ class DeviceBlockSession:
 
     def play(self) -> List[np.ndarray]:
         G, P, H = len(self.lineups), self.cfg.num_players, self.cfg.hand_size
-        B = max(1, 1 << (G - 1).bit_length())  # pow2 game bucket (compile reuse)
+        B = self.bucket or max(1, 1 << (G - 1).bit_length())  # pow2 game bucket
+        assert B >= G, (B, G)
 
         kinds = np.zeros((B, P), np.int32)
         mc_maxes = np.zeros((B, P), np.int32)

@@ -181,7 +181,12 @@ class Tournament:
         for (names, _), game_scores in zip(picks, scores):
             self.score_game(names, game_scores)
 
-    def play_device_block(self, n_games: int, num_players: Optional[int] = None) -> None:
+    def play_device_block(
+        self,
+        n_games: int,
+        num_players: Optional[int] = None,
+        bucket: Optional[int] = None,
+    ) -> None:
         """Play ``n_games`` with eligible lineups fused into device programs.
 
         Lineup sampling and scoring are identical to :meth:`play_block`;
@@ -209,7 +214,9 @@ class Tournament:
 
         scores = {}
         for _, group in sorted(device_groups.items()):
-            results = DeviceBlockSession([agents for _, agents in group]).play()
+            results = DeviceBlockSession(
+                [agents for _, agents in group], bucket=bucket
+            ).play()
             for (j, _), game_scores in zip(group, results):
                 scores[j] = game_scores
         if host:
