@@ -60,6 +60,11 @@ def main(argv=None):
     parser.add_argument("--device-root", action="store_true",
                         help="run each search decision as one device program "
                              "(agents/device_search.py)")
+    parser.add_argument("--device-blocks", action="store_true",
+                        help="run eligible lineups (random/search seats) as "
+                             "COMPLETE games in one device program per player "
+                             "count (Tournament.play_device_block); implies "
+                             "lockstep chunking")
     parser.add_argument("--platform", type=str, default=None,
                         help="force JAX platform (e.g. cpu)")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -105,13 +110,17 @@ def main(argv=None):
     print(tournament)
     while tournament.total_games < args.games:
         chunk = min(args.block, args.games - tournament.total_games)
-        if args.lockstep:
+        if args.lockstep or args.device_blocks:
             if args.evolve_every:  # stop lockstep chunks at evolve boundaries
                 chunk = min(
                     chunk,
                     args.evolve_every - tournament.total_games % args.evolve_every,
                 )
-            tournament.play_block(chunk)
+            if args.device_blocks:
+                bucket = 1 << (args.block - 1).bit_length()
+                tournament.play_device_block(chunk, bucket=bucket)
+            else:
+                tournament.play_block(chunk)
             maybe_evolve()
         else:
             for _ in range(chunk):
