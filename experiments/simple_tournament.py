@@ -50,6 +50,10 @@ def main(argv=None):
                              "COMPLETE games inside one device program per "
                              "player count (Tournament.play_device_block); "
                              "learner games fall back to the host block driver")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest stage checkpoint in "
+                             "--checkpoint-dir (like the notebook reloading "
+                             "its .tournament*.pickle between sessions)")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -69,7 +73,7 @@ def main(argv=None):
         PUCTAgent,
     )
     from rl6nimmt_tpu.tournament import Tournament
-    from rl6nimmt_tpu.utils import save_checkpoint
+    from rl6nimmt_tpu.utils import load_checkpoint, save_checkpoint
 
     n = lambda games: max(1, int(games * args.scale))
     ckpt = lambda tag: str(Path(args.checkpoint_dir) / f".tournament{tag}.pickle")
@@ -89,33 +93,43 @@ def main(argv=None):
             for start in range(0, games, args.block):
                 tournament.play_block(min(args.block, games - start))
 
-    agents = {
-        "Random": DrunkHamster(seed=args.seed),
-        "D3QN": Noisy_D3QN_PRB_NStep(
-            history_length=int(1e5), n_steps=10, seed=args.seed + 1
-        ),
-        "ACER": BatchedACERAgent(minibatch=10, seed=args.seed + 2),
-        "MCS": MCSAgent(
-            mc_max=args.mc_max, device_root=args.device_root, seed=args.seed + 3
-        ),
-        "Alpha0.5": PUCTAgent(
-            mc_max=args.mc_max, device_root=args.device_root, seed=args.seed + 4
-        ),
-    }
-    for agent in agents.values():
-        try:
-            agent.train()
-        except Exception:
-            pass
+    tournament = None
+    if args.resume:
+        for tag in ("6", "5", "4", "3", "2", ""):
+            path = Path(ckpt(tag))
+            if path.exists():
+                tournament = load_checkpoint(str(path))
+                print(f"Resumed from {path} at {tournament.total_games} games")
+                break
 
-    tournament = Tournament(min_players=2, max_players=4)
-    for name, agent in agents.items():
-        tournament.add_player(name, agent)
+    if tournament is None:
+        agents = {
+            "Random": DrunkHamster(seed=args.seed),
+            "D3QN": Noisy_D3QN_PRB_NStep(
+                history_length=int(1e5), n_steps=10, seed=args.seed + 1
+            ),
+            "ACER": BatchedACERAgent(minibatch=10, seed=args.seed + 2),
+            "MCS": MCSAgent(
+                mc_max=args.mc_max, device_root=args.device_root, seed=args.seed + 3
+            ),
+            "Alpha0.5": PUCTAgent(
+                mc_max=args.mc_max, device_root=args.device_root, seed=args.seed + 4
+            ),
+        }
+        for agent in agents.values():
+            try:
+                agent.train()
+            except Exception:
+                pass
+
+        tournament = Tournament(min_players=2, max_players=4)
+        for name, agent in agents.items():
+            tournament.add_player(name, agent)
     print(tournament)
 
     # ------------------------------------------------- stage 1: evolve era
     while tournament.total_games < n(2000):
-        play_n(tournament, n(400))
+        play_n(tournament, min(n(400), n(2000) - tournament.total_games))
         print(tournament)
         if tournament.total_games < n(2000):
             tournament.evolve(max_players=6, max_per_descendant=2, copies=(2,))
@@ -127,14 +141,17 @@ def main(argv=None):
             agent.mc_max = args.mc_max * 2
     tournament.elo_k = 16
     while tournament.total_games < n(3200):
-        play_n(tournament, n(400))
+        play_n(tournament, min(n(400), n(3200) - tournament.total_games))
         print(tournament)
     save_checkpoint(ckpt("2"), tournament)
 
     # ------------------------------------------------ stage 3: ELO annealing
     for stage, k in enumerate((32, 16, 8, 4), start=3):
+        target = n(3200) + (stage - 2) * n(200)
+        if tournament.total_games >= target:
+            continue  # already past this stage (resume)
         tournament.elo_k = k
-        play_n(tournament, n(200))
+        play_n(tournament, target - tournament.total_games)
         print(tournament)
         save_checkpoint(ckpt(str(stage)), tournament)
 
