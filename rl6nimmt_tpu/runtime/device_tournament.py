@@ -212,6 +212,7 @@ class DeviceBlockSession:
         lineups: Sequence[Sequence],
         batch: int = 8,
         bucket: Optional[int] = None,
+        mesh=None,
     ):
         assert lineups, "need at least one game"
         P = len(lineups[0])
@@ -224,6 +225,12 @@ class DeviceBlockSession:
         # same compiled program — compiles, not padded device compute, are
         # the scarce resource over a remote-device tunnel.
         self.bucket = bucket
+        # Optional jax.sharding.Mesh: the game axis (and every per-game input)
+        # shards across its devices — the matches are embarrassingly parallel,
+        # so GSPMD partitions the whole program with no collectives until the
+        # host fetch.  Numerics are unchanged (per-game PRNG splits are
+        # position-, not device-, derived; tested on the virtual CPU mesh).
+        self.mesh = mesh
         sigs = {_lineup_signature(agents) for agents in self.lineups}
         assert None not in sigs, "ineligible lineup (use BlockSession)"
         cfgs = {cfg for cfg, _ in sigs}
@@ -240,6 +247,8 @@ class DeviceBlockSession:
     def play(self) -> List[np.ndarray]:
         G, P, H = len(self.lineups), self.cfg.num_players, self.cfg.hand_size
         B = self.bucket or max(1, 1 << (G - 1).bit_length())  # pow2 game bucket
+        if self.mesh is not None:
+            B = max(B, self.mesh.size)  # pow2 sizes: divisible game shards
         assert B >= G, (B, G)
 
         kinds = np.zeros((B, P), np.int32)
@@ -270,6 +279,18 @@ class DeviceBlockSession:
         mc_ceiling = 1 << (mc_ceiling - 1).bit_length()  # pow2: bounded compiles
         fn = make_device_block_fn(self.cfg, self.spec, B, mc_ceiling, self.batch)
         key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            names = tuple(self.mesh.axis_names)
+            games = NamedSharding(
+                self.mesh, Pspec(names if len(names) > 1 else names[0])
+            )
+            put = lambda t: jax.tree.map(lambda x: jax.device_put(x, games), t)
+            params, kinds, mc_maxes, mc_pers, c_pucts = (
+                put(params), put(kinds), put(mc_maxes), put(mc_pers), put(c_pucts)
+            )
+            key = jax.device_put(key, NamedSharding(self.mesh, Pspec()))
         scores, traj, final_obs = fn(params, kinds, mc_maxes, mc_pers, c_pucts, key)
 
         scores = np.asarray(scores)[:G]

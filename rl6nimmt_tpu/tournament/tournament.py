@@ -186,6 +186,7 @@ class Tournament:
         n_games: int,
         num_players: Optional[int] = None,
         bucket: Optional[int] = None,
+        mesh=None,
     ) -> None:
         """Play ``n_games`` with eligible lineups fused into device programs.
 
@@ -215,7 +216,7 @@ class Tournament:
         scores = {}
         for _, group in sorted(device_groups.items()):
             results = DeviceBlockSession(
-                [agents for _, agents in group], bucket=bucket
+                [agents for _, agents in group], bucket=bucket, mesh=mesh
             ).play()
             for (j, _), game_scores in zip(group, results):
                 scores[j] = game_scores

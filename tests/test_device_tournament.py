@@ -158,6 +158,24 @@ def test_seat_kind_and_eligibility():
     assert not device_lineup_eligible([DrunkHamster(), dqn])
 
 
+def test_device_session_sharded_over_mesh_matches_single_device():
+    """Game-axis sharding over the 8-device mesh is numerically invisible."""
+    from rl6nimmt_tpu.parallel import make_mesh
+
+    def run(mesh, seed):
+        np.random.seed(seed)
+        lineups = [
+            [DrunkHamster(seed=1), MCSAgent(seed=2, mc_max=8, mc_per_card=2)]
+            for _ in range(8)
+        ]
+        sess = DeviceBlockSession(lineups, batch=BATCH, mesh=mesh)
+        return np.stack(sess.play())
+
+    single = run(None, seed=123)
+    sharded = run(make_mesh(), seed=123)
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_tournament_play_device_block_mixed_population():
     np.random.seed(7)
     from rl6nimmt_tpu.agents.dqn import DQNVanilla
