@@ -68,7 +68,7 @@ def _bitonic_sort_packed(vals):
         k *= 2
 
 
-def _deal_in_kernel(cfg: EnvConfig, shape):
+def _deal_in_kernel(cfg: EnvConfig, shape, materialize_board: bool = True):
     """Deal a fresh game per lane from the (already seeded) hardware PRNG.
 
     A uniform deck permutation via random-key sort: pack a 24-bit sort key
@@ -108,43 +108,66 @@ def _deal_in_kernel(cfg: EnvConfig, shape):
                 )
         hands.extend(hand)
 
-    # Board: row r seeded from the deck tail (init_from_deck parity).
+    # Board: row r seeded from the deck tail (init_from_deck parity).  The
+    # self-deal game kernel never outputs the board and resolves purely on
+    # row aggregates, so it skips materializing the empty cells.
     board = []
     for r in range(R):
         board.append(deck(C - 1 - r))
-        board.extend(jnp.full(shape, -1, jnp.int32) for _ in range(T - 1))
+        if materialize_board:
+            board.extend(jnp.full(shape, -1, jnp.int32) for _ in range(T - 1))
     row_len = [jnp.full(shape, 1, jnp.int32) for _ in range(R)]
     return board, row_len, hands
 
 
 def _selfdeal_game_kernel(cfg: EnvConfig, seed_ref, reward_out, checksum_out):
-    """Deal AND play entirely in-kernel: input is one scalar seed per call."""
+    """Deal AND play entirely in-kernel: input is one scalar seed per call.
+
+    Board cells are never materialized: each freshly-dealt row is one seed
+    card, so its aggregates are computed directly and the whole game resolves
+    on aggregate registers alone (``_apply_subplay`` with ``board=None``) —
+    rewards and observation checksums are bit-identical to the materialized
+    path (gated by the turn kernel's exact-equality test vs the engine).
+    """
+    R, T = cfg.num_rows, cfg.threshold
     pltpu.prng_seed(_seed_hash(seed_ref[0] + pl.program_id(0)))
     shape = (SUBLANES, LANES)
-    board, row_len, hands = _deal_in_kernel(cfg, shape)
-    _play_turns(cfg, board, row_len, hands, reward_out, checksum_out)
+    seeds, row_len, hands = _deal_in_kernel(cfg, shape, materialize_board=False)
+    from .step_kernel import _card_points
+
+    aggr = (
+        [_card_points(seeds[r]) for r in range(R)],  # row_pts (incl. last)
+        [seeds[r] for r in range(R)],                # row_last
+        [seeds[r] for r in range(R)],                # row_csum
+    )
+    _play_turns(cfg, None, row_len, hands, reward_out, checksum_out, aggr)
 
 
-def _play_turns(cfg: EnvConfig, board, row_len, hands, reward_out, checksum_out):
+def _play_turns(cfg: EnvConfig, board, row_len, hands, reward_out, checksum_out,
+                aggr=None):
     R, T, P, H = cfg.num_rows, cfg.threshold, cfg.num_players, cfg.hand_size
     assert P < 16, P  # player id must fit the low 4 bits of the packed word
 
-    rewards = [jnp.zeros_like(board[0]) for _ in range(P)]
-    checksum = jnp.zeros_like(board[0], dtype=jnp.float32)
-    aggr = _row_aggregates(cfg, board, row_len)
+    rewards = [jnp.zeros_like(row_len[0]) for _ in range(P)]
+    checksum = jnp.zeros_like(row_len[0], dtype=jnp.float32)
+    if aggr is None:
+        aggr = _row_aggregates(cfg, board, row_len)
     row_pts, row_last, row_csum = aggr
+
+    # Hand-block checksum term, maintained incrementally: each pick removes
+    # the card and appends a -1 pad, so the block sum drops by (pick + 1).
+    hand_sum = hands[0]
+    for i in range(1, P * H):
+        hand_sum = hand_sum + hands[i]
 
     for t in range(cfg.max_turns):
         count = H - t  # cards left in every hand this turn (static)
 
         # ----- observation checksum (matches engine observe layout sums) ----
         # The per-row summary sums come straight off the aggregate registers
-        # _apply_subplay maintains; the hand block still reads every hand
-        # slot.  Bit-identical to summing the materialized observe() layout:
-        # empty board cells hold -1, so board_sum = csum - (T - len) per row.
-        hand_sum = jnp.zeros_like(board[0])
-        for i in range(P * H):
-            hand_sum = hand_sum + hands[i]
+        # _apply_subplay maintains.  Bit-identical to summing the materialized
+        # observe() layout: empty board cells hold -1, so
+        # board_sum = csum - (T - len) per row.
         len_sum = row_len[0]
         pts_sum = row_pts[0]
         high_sum = row_last[0]
@@ -169,12 +192,13 @@ def _play_turns(cfg: EnvConfig, board, row_len, hands, reward_out, checksum_out)
         # are distinct across seats, so the player bits never decide order).
         packed = []
         for p in range(P):
-            bits = pltpu.prng_random_bits(board[0].shape)
+            bits = pltpu.prng_random_bits(row_len[0].shape)
             r = (pltpu.bitcast(bits, jnp.uint32) % jnp.uint32(count)).astype(jnp.int32)
-            pick = jnp.zeros_like(board[0])
+            pick = jnp.zeros_like(row_len[0])
             for h in range(count):
                 pick = jnp.where(r == h, hands[p * H + h], pick)
             packed.append((pick << 4) | p)
+            hand_sum = hand_sum - pick - 1  # removed card + new -1 pad
             # Remove the picked card: shift left from slot r.
             for h in range(count - 1):
                 hands[p * H + h] = jnp.where(

@@ -81,6 +81,12 @@ def _apply_subplay(cfg: EnvConfig, board, row_len, aggr, rewards, card, player):
     lists mutated in place; ``card``/``player`` are tiles for the sub-play
     being resolved.  Single source of truth for the rules-critical resolution
     math (engine/env.py:_resolve semantics).
+
+    ``board=None`` skips the per-cell board writes: every rules decision
+    (row choice, capture, penalty) and the observation checksum read ONLY
+    the aggregate registers, so callers that never output the board (the
+    self-dealing game kernel) drop its O(R*T) update — the largest single
+    op block of the fused game — with bit-identical rewards/checksums.
     """
     R, T, P = cfg.num_rows, cfg.threshold, cfg.num_players
     row_pts, row_last, row_csum = aggr
@@ -118,13 +124,14 @@ def _apply_subplay(cfg: EnvConfig, board, row_len, aggr, rewards, card, player):
         sel = row == r
         cap = sel & captures
         app = sel & ~captures
-        for t in range(T):
-            cell = board[r * T + t]
-            cap_cell = jnp.where(t == 0, card, jnp.full_like(card, -1))
-            app_cell = jnp.where(t == old_len, card, cell)
-            board[r * T + t] = jnp.where(
-                sel, jnp.where(captures, cap_cell, app_cell), cell
-            )
+        if board is not None:
+            for t in range(T):
+                cell = board[r * T + t]
+                cap_cell = jnp.where(t == 0, card, jnp.full_like(card, -1))
+                app_cell = jnp.where(t == old_len, card, cell)
+                board[r * T + t] = jnp.where(
+                    sel, jnp.where(captures, cap_cell, app_cell), cell
+                )
         row_len[r] = jnp.where(
             sel, jnp.where(captures, jnp.ones_like(old_len), old_len + 1), row_len[r]
         )
