@@ -90,7 +90,7 @@ def main(argv=None):
         )
         for i, name in enumerate(args.agents):
             agent = build_agent(name, args.mc_max, seed=args.seed + i,
-                                device_root=args.device_root)
+                                device_root=args.device_root or args.device_blocks)
             try:
                 agent.train()
             except Exception:
