@@ -82,12 +82,13 @@ def main(argv=None):
         chosen = jnp.take_along_axis(logp, picks[:, None], axis=1)[:, 0]
         return -jnp.sum(chosen) / G  # per-game scale (episode-loss sum / games)
 
+    # Self-play (the big cached device-tournament program) and the small
+    # imitation update stay SEPARATE jits: fusing them would recompile the
+    # whole game program inside the grad trace — many minutes over a remote
+    # tunnel for zero compute benefit (two dispatches per iteration instead
+    # of one is ~50 ms of RTT against seconds of self-play).
     @jax.jit
-    def train_iter(params, opt_state, key):
-        rep = lambda x: jnp.broadcast_to(x[None, None], (G, P) + x.shape)
-        scores, traj, _ = selfplay(
-            jax.tree.map(rep, params), kinds, mc_maxes, mc_pers, c_pucts, key
-        )
+    def update(params, opt_state, traj, scores):
         S, H = cfg.state_length, cfg.hand_size
         obs = traj["obs"].reshape(-1, S)
         hands = traj["hands"].reshape(-1, H)
@@ -96,6 +97,13 @@ def main(argv=None):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, jnp.mean(scores)
+
+    def train_iter(params, opt_state, key):
+        rep = lambda x: jnp.broadcast_to(x[None, None], (G, P) + x.shape)
+        scores, traj, _ = selfplay(
+            jax.tree.map(rep, params), kinds, mc_maxes, mc_pers, c_pucts, key
+        )
+        return update(params, opt_state, traj, scores)
 
     key = jax.random.key(args.seed + 1)
     start = time.perf_counter()
