@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--device-root", action="store_true",
                         help="run each Alpha0.5 decision as one device program "
                              "(fast interactive play, agents/device_search.py)")
+    parser.add_argument("--prior-params", default=None,
+                        help="npz of trained prior-net params for Alpha0.5 "
+                             "(experiments/train_puct_prior.py --out)")
     parser.add_argument("--platform", type=str, default=None,
                         help="force JAX platform (e.g. cpu)")
     args = parser.parse_args(argv)
@@ -49,6 +52,13 @@ def main(argv=None):
     else:
         opponent = PUCTAgent(mc_max=args.mc_max, device_root=args.device_root)
         opponent.__name__ = "Alpha0.5"
+        if args.prior_params:
+            from rl6nimmt_tpu.utils import load_params
+
+            opponent.set_parameters(
+                opponent.host_put(load_params(args.prior_params, opponent.params))
+            )
+            print(f"Loaded trained prior from {args.prior_params}")
     if hasattr(opponent, "mc_max"):
         opponent.mc_max = args.mc_max
     if hasattr(opponent, "eval"):
