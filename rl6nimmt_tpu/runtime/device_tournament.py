@@ -52,6 +52,15 @@ from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
 from ..nets import MLPSpec, mlp_init
 
+@functools.lru_cache(maxsize=None)
+def _zero_params(spec: MLPSpec):
+    """Host-numpy zero param tree for random/uniform seats (cached: building
+    it on a tunneled accelerator costs dispatch round trips per block)."""
+    return jax.tree.map(
+        lambda x: np.zeros_like(np.asarray(x)), mlp_init(jax.random.key(0), spec)
+    )
+
+
 # ----------------------------------------------------------------- compile
 
 
@@ -255,10 +264,7 @@ class DeviceBlockSession:
         mc_maxes = np.zeros((B, P), np.int32)
         mc_pers = np.zeros((B, P), np.int32)
         c_pucts = np.zeros((B, P), np.float32)
-        zero_params = jax.tree.map(
-            lambda x: np.zeros_like(np.asarray(x)),
-            mlp_init(jax.random.key(0), self.spec),
-        )
+        zero_params = _zero_params(self.spec)
         rows = []
         for g in range(B):
             agents = self.lineups[min(g, G - 1)]  # pad rows repeat the last game
