@@ -274,10 +274,12 @@ class BaseMCAgent(Agent):
             self.batch_playouts or self.mc_max,
             float(getattr(self, "c_puct", 0.0)),
         )
-        # Pad the game axis to a power-of-two bucket: block group sizes vary
-        # per turn (1..block), and each distinct vmap width is a separate
-        # compile of a large program — ruinous through a remote-device tunnel.
-        B = max(1, 1 << (G - 1).bit_length())
+        # Pad the game axis to a power-of-two bucket with a floor of 8: block
+        # group sizes vary per turn (1..block), and each distinct vmap width
+        # is a separate compile of a large program — ruinous through a
+        # remote-device tunnel.  The floor trades a little padded compute
+        # (cheap) for 2x fewer compiled widths (expensive).
+        B = max(8, 1 << (G - 1).bit_length())
         pad = lambda x: np.concatenate([x, np.repeat(x[-1:], B - G, axis=0)]) if B > G else x
         # Agent keys live on the host CPU (interactive path); the decision
         # program runs on the default (accelerator) device like the playouts.
