@@ -43,7 +43,7 @@ def _seed_hash(seed):
     return seed * jnp.int32(-1640531527)
 
 
-def _bitonic_sort_packed(vals):
+def _bitonic_sort_packed(vals, needed=None):
     """In-place ascending bitonic sort of ``len(vals)`` (power of two) tiles.
 
     Every element is a single packed ``[8, 128]`` int32 tile (sort key in the
@@ -51,9 +51,16 @@ def _bitonic_sort_packed(vals):
     ``minimum`` + one ``maximum`` over the whole game tile -- 2 vector ops
     instead of the 5 a separate key/payload swap costs.  n=128 -> 28 passes,
     64 pairs each.
+
+    ``needed`` (optional): output ranks that must be exact.  The comparator
+    list is backward-pruned — a comparator is dropped iff neither of its
+    positions can influence a needed output downstream — which is exact for
+    the kept ranks (a partial sorting network).  The deal only consumes deck
+    ranks [0, P*H) and [C-R, C), pruning ~10% of the network.
     """
     n = len(vals)
     assert n & (n - 1) == 0, n
+    comps = []
     k = 2
     while k <= n:
         j = k // 2
@@ -61,11 +68,23 @@ def _bitonic_sort_packed(vals):
             for i in range(n):
                 l = i ^ j
                 if l > i:
-                    lo = jnp.minimum(vals[i], vals[l])
-                    hi = jnp.maximum(vals[i], vals[l])
-                    vals[i], vals[l] = (lo, hi) if (i & k) == 0 else (hi, lo)
+                    comps.append((i, l, (i & k) == 0))
             j //= 2
         k *= 2
+    if needed is not None:
+        live, keep = set(needed), []
+        for (i, l, _) in reversed(comps):
+            hit = i in live or l in live
+            keep.append(hit)
+            if hit:
+                live.add(i)
+                live.add(l)
+        keep.reverse()
+        comps = [c for c, kept in zip(comps, keep) if kept]
+    for (i, l, ascending) in comps:
+        lo = jnp.minimum(vals[i], vals[l])
+        hi = jnp.maximum(vals[i], vals[l])
+        vals[i], vals[l] = (lo, hi) if ascending else (hi, lo)
 
 
 def _deal_in_kernel(cfg: EnvConfig, shape, materialize_board: bool = True):
@@ -93,7 +112,8 @@ def _deal_in_kernel(cfg: EnvConfig, shape, materialize_board: bool = True):
     sentinel = jnp.full(shape, jnp.int32(0x7FFFFFFF), jnp.int32)
     for _ in range(C, pad):
         packed.append(sentinel)
-    _bitonic_sort_packed(packed)
+    needed = frozenset(range(P * H)) | frozenset(range(C - R, C))
+    _bitonic_sort_packed(packed, needed)
     deck = lambda i: packed[i] & jnp.int32(127)  # unpack card id (lazy per slot)
 
     # Hands: slots [p*H, (p+1)*H), each sorted ascending (min/max bubble).
