@@ -153,3 +153,19 @@ def test_checksum_gate_on_include_summaries():
     # The gap is exactly the summed summary blocks, which are positive for
     # every live game state: with-summaries checksums must be larger.
     assert np.all(c1 > c2)
+
+
+def test_pruned_bitonic_exact_on_needed_ranks():
+    """The backward-pruned partial sorting network (deal path) is exact on
+    every rank it keeps — pure-array check, runs on CPU."""
+    from rl6nimmt_tpu.ops.game_kernel import _bitonic_sort_packed
+
+    rng = np.random.RandomState(0)
+    needed = frozenset(range(40)) | frozenset(range(100, 104))
+    for trial in range(5):
+        vals = rng.randint(0, 2**31 - 1, size=128)
+        full = np.sort(vals)
+        tiles = [jnp.asarray(v).reshape(1, 1) for v in vals]
+        _bitonic_sort_packed(tiles, needed)
+        pruned = np.asarray([int(t[0, 0]) for t in tiles])
+        np.testing.assert_array_equal(pruned[sorted(needed)], full[sorted(needed)])
