@@ -32,6 +32,11 @@ def main(argv=None):
     parser.add_argument("--prior-params", default=None,
                         help="npz of trained prior-net params for Alpha0.5 "
                              "(experiments/train_puct_prior.py --out)")
+    parser.add_argument("--device-game", action="store_true",
+                        help="play inside ONE jitted program: every Alpha0.5 "
+                             "decision stays on device, only your card choice "
+                             "crosses to the host via io_callback "
+                             "(runtime/callback_human.py)")
     parser.add_argument("--platform", type=str, default=None,
                         help="force JAX platform (e.g. cpu)")
     args = parser.parse_args(argv)
@@ -44,6 +49,32 @@ def main(argv=None):
     from rl6nimmt_tpu.agents import Human, PUCTAgent
     from rl6nimmt_tpu.runtime import GameSession
     from rl6nimmt_tpu.utils import load_checkpoint
+
+    if args.device_game:
+        from rl6nimmt_tpu.runtime.callback_human import play_callback_game
+
+        params = None
+        if args.prior_params:
+            from rl6nimmt_tpu.engine import EnvConfig
+            from rl6nimmt_tpu.nets import MLPSpec, mlp_init
+            from rl6nimmt_tpu.utils import load_params
+            import jax
+
+            cfg = EnvConfig(num_players=2)
+            spec = MLPSpec(
+                input_size=cfg.state_length + 1,
+                hidden_sizes=(100, 100),
+                head_sizes=(1,),
+            )
+            params = load_params(args.prior_params, mlp_init(jax.random.key(0), spec))
+        totals = None
+        for g in range(args.games):
+            scores = play_callback_game(
+                ["puct"], params=params, mc_max=args.mc_max, seed=g, name=args.name
+            )
+            totals = scores if totals is None else totals + scores
+        print(f"Series total: {args.name} {totals[0]:.0f} vs Alpha0.5 {totals[1]:.0f}")
+        return
 
     if args.checkpoint:
         tournament = load_checkpoint(args.checkpoint)

@@ -1,8 +1,9 @@
 """Interactive CLI agent (the reference's ``Human``, human.py:7-33).
 
 Prompts on stdin for a 1-indexed card face until the player names a card they
-actually hold.  This is inherently a host-side agent; in the vectorized
-runtime it is bridged through a host callback on a single game lane.
+actually hold.  This is inherently a host-side agent (the GameSession path);
+for a fully-jitted game where only the human's choice crosses to the host,
+see :mod:`..runtime.callback_human` (io_callback seat, SURVEY.md §5).
 """
 
 from __future__ import annotations
