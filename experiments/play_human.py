@@ -51,7 +51,19 @@ def main(argv=None):
     from rl6nimmt_tpu.utils import load_checkpoint
 
     if args.device_game:
+        import os
+
         from rl6nimmt_tpu.runtime.callback_human import play_callback_game
+
+        # io_callback needs host<->device callbacks; tunneled/relay backends
+        # (axon) hang on them.  Decide from the env var WITHOUT touching
+        # jax.devices() -- querying devices initializes the backend and makes
+        # the platform unswitchable.  Interactive play is latency-, not
+        # throughput-bound, so the host CPU is the right fallback.
+        if not args.platform and os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu", "tpu"):
+            print("(tunneled device backend: forcing --platform cpu for the "
+                  "io_callback game; use a local TPU for on-device play)")
+            rl6nimmt_tpu.use_platform("cpu")
 
         params = None
         if args.prior_params:
