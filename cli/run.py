@@ -25,9 +25,11 @@ import numpy as np
 
 
 def build_agent(name: str, mc_max: int, seed: int, device_root: bool = False):
-    from rl6nimmt_tpu.agents import AGENTS, BaseMCAgent
+    from rl6nimmt_tpu.agents import AGENTS, BaseMCAgent, PUCTCustomedAgent
 
-    cls = AGENTS[name]
+    # The reference's run.py builds PUCTCustomedAgent directly (it is
+    # exported but absent from AGENTS, mirroring agents/__init__.py).
+    cls = PUCTCustomedAgent if name == "puct_customed" else AGENTS[name]
     kwargs = {"seed": seed}
     if issubclass(cls, BaseMCAgent):
         kwargs["mc_max"] = mc_max
@@ -40,7 +42,9 @@ def build_agent(name: str, mc_max: int, seed: int, device_root: bool = False):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="6 nimmt! population tournament")
     parser.add_argument("--agents", nargs="+", default=["random", "acer", "mcts", "puct"],
-                        help="registry names (see rl6nimmt_tpu.agents.AGENTS)")
+                        help="registry names (see rl6nimmt_tpu.agents.AGENTS), "
+                             "plus 'puct_customed' (exported but unregistered, "
+                             "as in the reference)")
     parser.add_argument("--games", type=int, default=400)
     parser.add_argument("--block", type=int, default=100, help="games between table prints")
     parser.add_argument("--min-players", type=int, default=2)
