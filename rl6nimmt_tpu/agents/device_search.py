@@ -50,6 +50,49 @@ from .search import make_single_playout
 NEG_INF = -jnp.inf
 
 
+def factorial_table(hand_size: int):
+    """int32-saturated factorial table (13! would overflow at build time)."""
+    cap = 2**31 - 1
+    return jnp.asarray(
+        [min(math.factorial(i), cap) for i in range(hand_size + 1)], jnp.int32
+    )
+
+
+def playout_budget(mc_max, mc_per, fact_n):
+    """``min(mc_max, mc_per * n!)`` (mcts.py:105-106) without int32 overflow.
+
+    The product is computed only when it provably fits: whenever
+    ``fact_n > mc_max // mc_per`` the true product already exceeds ``mc_max``,
+    so the clamp resolves without multiplying.
+    """
+    mc_max = jnp.asarray(mc_max, jnp.int32)
+    mc_per = jnp.asarray(mc_per, jnp.int32)
+    capped = (mc_per > 0) & (fact_n > mc_max // jnp.maximum(mc_per, 1))
+    return jnp.minimum(mc_max, jnp.where(capped, mc_max, mc_per * fact_n))
+
+
+def build_root_state(cfg: EnvConfig, board, row_len, my_hand, opp):
+    """Mid-game :class:`EnvState` for one determinization (searcher = seat 0).
+
+    ``-1`` pads scatter out of bounds and drop; sorted views keep -1 tails.
+    Shared by the kind-static and kind-traced decision programs.
+    """
+    P, C = cfg.num_players, cfg.num_cards
+    hands = jnp.zeros((P, C), bool)
+    hands = hands.at[0, jnp.where(my_hand >= 0, my_hand, C)].set(True, mode="drop")
+    hands = hands.at[
+        jnp.arange(1, P)[:, None], jnp.where(opp >= 0, opp, C)
+    ].set(True, mode="drop")
+    return EnvState(
+        board=board,
+        row_len=row_len,
+        hands=hands,
+        hands_sorted=jnp.concatenate([my_hand[None], opp], axis=0),
+        scores=jnp.zeros((P,), jnp.int32),
+        turn=jnp.zeros((), jnp.int32),
+    )
+
+
 def _masked_median(rets_buf, count):
     """np.median over ``rets_buf[:count]`` with ``count`` traced.
 
@@ -159,23 +202,6 @@ def _make_decide(
     max_rounds = math.ceil(max_n_mc / K)
     single = make_single_playout(cfg, playout_policy, spec)
 
-    def build_state(board, row_len, my_hand, opp):
-        # -1 pads scatter out of bounds and drop; sorted views keep -1 tails.
-        hands = jnp.zeros((P, C), bool)
-        hands = hands.at[0, jnp.where(my_hand >= 0, my_hand, C)].set(True, mode="drop")
-        hands = hands.at[
-            jnp.arange(1, P)[:, None], jnp.where(opp >= 0, opp, C)
-        ].set(True, mode="drop")
-        hands_sorted = jnp.concatenate([my_hand[None], opp], axis=0)
-        return EnvState(
-            board=board,
-            row_len=row_len,
-            hands=hands,
-            hands_sorted=hands_sorted,
-            scores=jnp.zeros((P,), jnp.int32),
-            turn=jnp.zeros((), jnp.int32),
-        )
-
     def choose_firsts(valid, logp, probs, q, act_cnt, active, key):
         if root == "uniform":
             logits = jnp.broadcast_to(jnp.where(valid, 0.0, NEG_INF), (K, H))
@@ -217,7 +243,9 @@ def _make_decide(
 
             deal_keys = jax.random.split(k_deal, K)
             opp = jax.vmap(lambda k: deal_opponents(avail, k, P - 1, n, H))(deal_keys)
-            states0 = jax.vmap(lambda o: build_state(board, row_len, my_hand, o))(opp)
+            states0 = jax.vmap(
+                lambda o: build_root_state(cfg, board, row_len, my_hand, o)
+            )(opp)
             play_keys = jax.random.split(k_play, K)
             rets = jax.vmap(single, in_axes=(None, 0, 0, None, 0))(
                 params, states0, my_hand[firsts], n_turns, play_keys
@@ -277,22 +305,6 @@ def _make_decide_unified(cfg: EnvConfig, spec: MLPSpec, max_n_mc: int, batch: in
     max_rounds = math.ceil(max_n_mc / K)
     single = make_single_playout(cfg, "mixed", spec)
 
-    def build_state(board, row_len, my_hand, opp):
-        hands = jnp.zeros((P, C), bool)
-        hands = hands.at[0, jnp.where(my_hand >= 0, my_hand, C)].set(True, mode="drop")
-        hands = hands.at[
-            jnp.arange(1, P)[:, None], jnp.where(opp >= 0, opp, C)
-        ].set(True, mode="drop")
-        hands_sorted = jnp.concatenate([my_hand[None], opp], axis=0)
-        return EnvState(
-            board=board,
-            row_len=row_len,
-            hands=hands,
-            hands_sorted=hands_sorted,
-            scores=jnp.zeros((P,), jnp.int32),
-            turn=jnp.zeros((), jnp.int32),
-        )
-
     def decide(params, kind, board, row_len, my_hand, n, n_mc, c_puct, avail, obs, key):
         my_hand = my_hand.astype(jnp.int32)
         board = board.astype(jnp.int32)
@@ -333,7 +345,9 @@ def _make_decide_unified(cfg: EnvConfig, spec: MLPSpec, max_n_mc: int, batch: in
 
             deal_keys = jax.random.split(k_deal, K)
             opp = jax.vmap(lambda k: deal_opponents(avail, k, P - 1, n, H))(deal_keys)
-            states0 = jax.vmap(lambda o: build_state(board, row_len, my_hand, o))(opp)
+            states0 = jax.vmap(
+                lambda o: build_root_state(cfg, board, row_len, my_hand, o)
+            )(opp)
             play_keys = jax.random.split(k_play, K)
             rets = jax.vmap(single, in_axes=(None, 0, 0, None, 0, None))(
                 params, states0, my_hand[firsts], n_turns, play_keys, net_root

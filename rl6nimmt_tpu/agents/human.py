@@ -15,25 +15,33 @@ from .base import Agent
 logger = logging.getLogger(__name__)
 
 
+def prompt_for_card(legal_actions, name: str) -> int:
+    """The reference prompt/retry loop (human.py:14-28): 1-indexed card faces,
+    re-prompt until a held card is named.  Shared by the GameSession agent
+    and the io_callback seat (runtime/callback_human.py)."""
+    hand = " ".join(f"{card + 1:>3d}" for card in legal_actions)
+    prompt = (
+        f"It is your turn, {name}! You have the following cards: "
+        f"{hand}. Choose one to play!"
+    )
+    action = -1
+    while action not in legal_actions:
+        raw = input(prompt)
+        try:
+            action = int(raw) - 1
+        except (TypeError, ValueError):
+            logger.error("Input in wrong format, please try again.")
+        prompt = "You don't have that card. Please pick one of your cards: " + hand
+    return action
+
+
 class Human(Agent):
     def __init__(self, name: str = "Human", env=None, *args, **kwargs):
         super().__init__(env, *args, **kwargs)
         self.__name__ = name
 
     def forward(self, state, legal_actions, **kwargs):
-        hand = " ".join(f"{card + 1:>3d}" for card in legal_actions)
-        prompt = (
-            f"It is your turn, {self.__name__}! You have the following cards: "
-            f"{hand}. Choose one to play!"
-        )
-        action = -1
-        while action not in legal_actions:
-            raw = input(prompt)
-            try:
-                action = int(raw) - 1
-            except (TypeError, ValueError):
-                logger.error("Input in wrong format, please try again.")
-            prompt = "You don't have that card. Please pick one of your cards: " + hand
+        action = prompt_for_card(list(legal_actions), self.__name__)
         return action, {}
 
     def learn(self, *args, **kwargs):

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import functools
 import logging
-import math
 from typing import Sequence
 
 import jax
@@ -28,7 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..agents.device_search import KIND_RANDOM, _make_decide_unified
+from ..agents.device_search import (
+    KIND_RANDOM,
+    _make_decide_unified,
+    factorial_table,
+    playout_budget,
+)
+from ..agents.human import prompt_for_card
 from ..engine.cards import format_card
 from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
@@ -37,27 +42,14 @@ from ..nets import MLPSpec
 logger = logging.getLogger(__name__)
 
 
-def _prompt_human(obs, hand, name: str = "Human"):
-    """Reference Human semantics (human.py:7-33) + a board render from obs."""
+def _prompt_human(obs, hand, name: str = "Human", num_rows: int = 4, threshold: int = 6):
+    """Board render from obs + the shared reference prompt loop (human.py)."""
     legal = [int(c) for c in np.asarray(hand) if c >= 0]
-    _render_board(np.asarray(obs))
-    hand_str = " ".join(f"{card + 1:>3d}" for card in legal)
-    prompt = (
-        f"It is your turn, {name}! You have the following cards: "
-        f"{hand_str}. Choose one to play!"
-    )
-    action = -1
-    while action not in legal:
-        raw = input(prompt)
-        try:
-            action = int(raw) - 1
-        except (TypeError, ValueError):
-            logger.error("Input in wrong format, please try again.")
-        prompt = "You don't have that card. Please pick one of your cards: " + hand_str
-    return np.int32(action)
+    _render_board(np.asarray(obs), num_rows, threshold)
+    return np.int32(prompt_for_card(legal, name))
 
 
-def _render_board(obs, num_rows: int = 4, threshold: int = 6):
+def _render_board(obs, num_rows: int, threshold: int):
     """Print the board grid from the tail of a 47-dim observation."""
     grid = obs[-num_rows * threshold :].reshape(num_rows, threshold).astype(int)
     print("Board:")
@@ -86,15 +78,20 @@ def make_callback_human_game(
     from jax.experimental import io_callback
 
     P, C, H = cfg.num_players, cfg.num_cards, cfg.hand_size
-    fact = jnp.asarray([math.factorial(i) for i in range(H + 1)], jnp.int32)
+    fact = factorial_table(H)
     decide = _make_decide_unified(cfg, spec, mc_max, batch)
-    prompt = functools.partial(_prompt_human, name=name)
+    prompt = functools.partial(
+        _prompt_human, name=name, num_rows=cfg.num_rows, threshold=cfg.threshold
+    )
 
     def board_seen(state):
         cards = state.board.reshape(-1)
         return jnp.any(cards[:, None] == jnp.arange(C)[None, :], axis=0)
 
     def game(params, kinds, key):
+        # Seat 0 is the human: its kind is forced to KIND_RANDOM so the
+        # decide vmap never runs a (discarded) search for it.
+        kinds = kinds.at[0].set(KIND_RANDOM)
         key, k_deal = jax.random.split(key)
         state = deal(cfg, k_deal)
         seen0 = board_seen(state)
@@ -111,7 +108,7 @@ def make_callback_human_game(
                 state.hands_sorted[0],
                 ordered=True,
             )
-            n_mc = jnp.minimum(mc_max, mc_per_card * fact[n])
+            n_mc = playout_budget(mc_max, mc_per_card, fact[n])
             n_mc = jnp.where(kinds == KIND_RANDOM, 0, n_mc)
             avail = ~(seen[None, :] | state.hands)
             key, k_dec = jax.random.split(key)

@@ -25,13 +25,12 @@ learning agents keep the host drivers (their replay buffers are host-side).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..agents.device_search import _make_decide
+from ..agents.device_search import _make_decide, factorial_table, playout_budget
 from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
 from ..nets import MLPSpec
@@ -59,7 +58,7 @@ def make_device_match_fn(
     """
     assert len(roster) == cfg.num_players, (roster, cfg.num_players)
     P, C, H, G = cfg.num_players, cfg.num_cards, cfg.hand_size, num_games
-    fact = jnp.asarray([math.factorial(i) for i in range(H + 1)], jnp.int32)
+    fact = factorial_table(H)
 
     deciders = {}
     for kind in set(roster) - {"random"}:
@@ -82,7 +81,7 @@ def make_device_match_fn(
         def turn(carry, t):
             state, seen, key = carry
             n = H - t
-            n_mc = jnp.minimum(mc_max, mc_per_card * fact[n])
+            n_mc = playout_budget(mc_max, mc_per_card, fact[n])
             seen = seen | board_seen(state)
             obs, masks = jax.vmap(lambda s: observe(cfg, s))(state)
 

@@ -31,7 +31,6 @@ Protocol notes (the block deviations of PARITY.md #10/#11 extended):
 from __future__ import annotations
 
 import functools
-import math
 from typing import List, Optional, Sequence
 
 import jax
@@ -45,6 +44,8 @@ from ..agents.device_search import (
     KIND_RANDOM,
     KIND_UNIFORM,
     _make_decide_unified,
+    factorial_table,
+    playout_budget,
 )
 from ..agents.mcs import MCSAgent, PolicyMCSAgent, PUCTAgent, PUCTCustomedAgent
 from ..agents.random_agent import DrunkHamster
@@ -93,7 +94,7 @@ def make_device_block_fn(
     is traced).  Random seats run zero rounds.
     """
     P, C, H, G = cfg.num_players, cfg.num_cards, cfg.hand_size, num_games
-    fact = jnp.asarray([math.factorial(i) for i in range(H + 1)], jnp.int32)
+    fact = factorial_table(H)
     decide = _make_decide_unified(cfg, spec, mc_max, batch)
 
     def board_seen(state):
@@ -114,7 +115,7 @@ def make_device_block_fn(
             n = H - t
             seen = seen | board_seen(state)
             obs, _ = jax.vmap(lambda s: observe(cfg, s))(state)
-            n_mc = jnp.minimum(mc_maxes, mc_pers * fact[n])
+            n_mc = playout_budget(mc_maxes, mc_pers, fact[n])
             n_mc = jnp.where(kinds == KIND_RANDOM, 0, n_mc)
             # Card memory: unseen cards, own hand excluded (mcts.py:62-73).
             avail = ~(seen[:, None, :] | state.hands)
@@ -161,6 +162,11 @@ def seat_kind(agent) -> Optional[int]:
     if isinstance(agent, PUCTAgent):
         if agent.temperature is not None and agent.temperature > 1e-12:
             return None  # NotImplementedError parity (mcts.py:318-323)
+        if (agent.batch_playouts or 8) != 8:
+            # PUCT root statistics refresh per round; a non-default batch
+            # would silently change that cadence vs the host path (uniform/
+            # policy roots are round-agnostic, so only PUCT is restricted).
+            return None
         return KIND_PUCT
     if isinstance(agent, PolicyMCSAgent):
         return KIND_POLICY
@@ -169,7 +175,7 @@ def seat_kind(agent) -> Optional[int]:
     return None
 
 
-def _lineup_signature(agents) -> Optional[tuple]:
+def lineup_signature(agents) -> Optional[tuple]:
     """(EnvConfig, MLPSpec | None) if the lineup can run on device, else None."""
     kinds = [seat_kind(a) for a in agents]
     if any(k is None for k in kinds):
@@ -205,7 +211,7 @@ def _lineup_signature(agents) -> Optional[tuple]:
 
 
 def device_lineup_eligible(agents) -> bool:
-    return _lineup_signature(agents) is not None
+    return lineup_signature(agents) is not None
 
 
 # ------------------------------------------------------------------ session
@@ -240,7 +246,7 @@ class DeviceBlockSession:
         # host fetch.  Numerics are unchanged (per-game PRNG splits are
         # position-, not device-, derived; tested on the virtual CPU mesh).
         self.mesh = mesh
-        sigs = {_lineup_signature(agents) for agents in self.lineups}
+        sigs = {lineup_signature(agents) for agents in self.lineups}
         assert None not in sigs, "ineligible lineup (use BlockSession)"
         cfgs = {cfg for cfg, _ in sigs}
         specs = {spec for _, spec in sigs if spec is not None}
@@ -257,7 +263,10 @@ class DeviceBlockSession:
         G, P, H = len(self.lineups), self.cfg.num_players, self.cfg.hand_size
         B = self.bucket or max(1, 1 << (G - 1).bit_length())  # pow2 game bucket
         if self.mesh is not None:
-            B = max(B, self.mesh.size)  # pow2 sizes: divisible game shards
+            # Round up to a multiple of the mesh size (device_put needs the
+            # sharded game axis evenly divisible; mesh sizes need not be pow2).
+            B = max(B, self.mesh.size)
+            B = -(-B // self.mesh.size) * self.mesh.size
         assert B >= G, (B, G)
 
         kinds = np.zeros((B, P), np.int32)

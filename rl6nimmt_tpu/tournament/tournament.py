@@ -203,18 +203,22 @@ class Tournament:
         (PARITY.md deviations #10/#11).
         """
         from ..runtime.block import BlockSession
-        from ..runtime.device_tournament import DeviceBlockSession, device_lineup_eligible
+        from ..runtime.device_tournament import DeviceBlockSession, lineup_signature
 
         picks = [self._choose_players(num_players) for _ in range(n_games)]
         device_groups, host = {}, []
         for j, (names, agents) in enumerate(picks):
-            if device_lineup_eligible(agents):
-                device_groups.setdefault(len(agents), []).append((j, agents))
+            # Group by the full device signature (env dims + net spec), not
+            # just player count: individually-eligible lineups may still mix
+            # architectures that cannot share one compiled program.
+            sig = lineup_signature(agents)
+            if sig is not None:
+                device_groups.setdefault(sig, []).append((j, agents))
             else:
                 host.append((j, agents))
 
         scores = {}
-        for _, group in sorted(device_groups.items()):
+        for group in device_groups.values():
             results = DeviceBlockSession(
                 [agents for _, agents in group], bucket=bucket, mesh=mesh
             ).play()

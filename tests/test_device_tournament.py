@@ -176,6 +176,46 @@ def test_device_session_sharded_over_mesh_matches_single_device():
     np.testing.assert_array_equal(single, sharded)
 
 
+def test_tournament_groups_mixed_net_specs_separately():
+    """Two eligible agents with different architectures must not share one
+    compiled program: play_device_block groups by full lineup signature."""
+    np.random.seed(3)
+    t = Tournament(min_players=2, max_players=2)
+    t.add_player("small", PUCTAgent(seed=1, mc_max=8, mc_per_card=2, hidden_sizes=(16,)))
+    t.add_player("big", PUCTAgent(seed=2, mc_max=8, mc_per_card=2, hidden_sizes=(32,)))
+    t.add_player("random", DrunkHamster(seed=3))
+    t.play_device_block(6)  # mixed-spec lineups land in separate groups
+    assert t.total_games == 6
+
+
+def test_nondefault_batch_playouts_puct_falls_back_to_host():
+    """PUCT root statistics refresh per round; a non-default batch_playouts
+    would change that cadence, so such seats stay on the host driver."""
+    from rl6nimmt_tpu.runtime.device_tournament import device_lineup_eligible
+
+    default = PUCTAgent(seed=1, mc_max=8)
+    custom = PUCTAgent(seed=2, mc_max=8, batch_playouts=1)
+    assert device_lineup_eligible([DrunkHamster(), default])
+    assert not device_lineup_eligible([DrunkHamster(), custom])
+    # Uniform-root MCS is round-agnostic: any batch_playouts stays eligible.
+    assert device_lineup_eligible(
+        [DrunkHamster(), MCSAgent(seed=3, mc_max=8, batch_playouts=2)]
+    )
+
+
+def test_playout_budget_matches_host_without_overflow():
+    """min(mc_max, mc_per * n!) survives products past int32 (mcts.py:105-106)."""
+    import math
+
+    from rl6nimmt_tpu.agents.device_search import factorial_table, playout_budget
+
+    fact = factorial_table(10)
+    for mc_max, mc_per, n in [(100, 10, 1), (5000, 1000, 10), (400, 10, 3), (0, 0, 10)]:
+        expect = min(mc_max, mc_per * math.factorial(n))
+        got = int(playout_budget(mc_max, mc_per, fact[n]))
+        assert got == expect, (mc_max, mc_per, n, got, expect)
+
+
 def test_tournament_play_device_block_mixed_population():
     np.random.seed(7)
     from rl6nimmt_tpu.agents.dqn import DQNVanilla
