@@ -48,6 +48,13 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default=None, help="save trained params (.npz)")
+    parser.add_argument("--objective", choices=["imitation", "advantage"],
+                        default="imitation",
+                        help="'imitation' = the reference's unconditional "
+                             "self-imitation (mcts.py:245-256); 'advantage' = "
+                             "outcome-weighted imitation (each seat's episode "
+                             "weighted by its score minus the game mean -- an "
+                             "outcome signal the reference rule lacks)")
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args(argv)
 
@@ -74,13 +81,15 @@ def main(argv=None):
     mc_pers = jnp.full((G, P), 10, jnp.int32)
     c_pucts = jnp.full((G, P), 2.0, jnp.float32)
 
-    def imitation_loss(params, obs, hands, picks):
-        # obs [N, S], hands [N, H], picks [N]: the reference self-imitation
-        # loss -sum log pi(chosen) over every episode step (mcts.py:245-256).
+    def imitation_loss(params, obs, hands, picks, weights):
+        # obs [N, S], hands [N, H], picks [N], weights [N]: the reference
+        # self-imitation loss -sum log pi(chosen) over every episode step
+        # (mcts.py:245-256); 'advantage' scales each record by its seat's
+        # score advantage so only above-average episodes are reinforced.
         logits = jax.vmap(lambda s, c: action_in_input_logits(spec, params, s, c))(obs, hands)
         logp = jax.nn.log_softmax(logits)
         chosen = jnp.take_along_axis(logp, picks[:, None], axis=1)[:, 0]
-        return -jnp.sum(chosen) / G  # per-game scale (episode-loss sum / games)
+        return -jnp.sum(weights * chosen) / G
 
     # Self-play (the big cached device-tournament program) and the small
     # imitation update stay SEPARATE jits: fusing them would recompile the
@@ -90,10 +99,17 @@ def main(argv=None):
     @jax.jit
     def update(params, opt_state, traj, scores):
         S, H = cfg.state_length, cfg.hand_size
+        T = traj["obs"].shape[0]
         obs = traj["obs"].reshape(-1, S)
         hands = traj["hands"].reshape(-1, H)
         picks = traj["picks"].reshape(-1)
-        loss, grads = jax.value_and_grad(imitation_loss)(params, obs, hands, picks)
+        if args.objective == "advantage":
+            adv = scores - jnp.mean(scores, axis=1, keepdims=True)  # [G, P]
+            adv = adv / (jnp.std(adv) + 1e-6)
+            weights = jnp.broadcast_to(adv[None], (T,) + adv.shape).reshape(-1)
+        else:
+            weights = jnp.ones(obs.shape[0])
+        loss, grads = jax.value_and_grad(imitation_loss)(params, obs, hands, picks, weights)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, jnp.mean(scores)
