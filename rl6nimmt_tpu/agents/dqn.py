@@ -36,6 +36,7 @@ import numpy as np
 import optax
 
 from ..buffers.host import HostHistory, HostPriorityBuffer
+from ..utils.tpu_ops import onehot_select
 from ..nets import MLPSpec, dueling_apply, mlp_apply, mlp_init
 from .base import Agent
 
@@ -100,7 +101,7 @@ def make_learn_step(cfg: DQNConfig, spec: MLPSpec, optimizer, gamma: float):
             q_local = q_values(cfg, spec, params, batch["next_state"], k1)
             q_target = q_values(cfg, spec, target_params, batch["next_state"], k2)
             idx = jnp.argmax(q_local, axis=-1)
-            bootstrap = jnp.take_along_axis(q_target, idx[:, None], axis=1)[:, 0]
+            bootstrap = onehot_select(q_target, idx)  # gather-free on TPU
         else:
             q_next = q_values(cfg, spec, params, batch["next_state"], key)
             bootstrap = jnp.max(q_next, axis=-1)
@@ -108,7 +109,7 @@ def make_learn_step(cfg: DQNConfig, spec: MLPSpec, optimizer, gamma: float):
 
     def loss_fn(params, target_params, batch, key_eval, key_tgt):
         q = q_values(cfg, spec, params, batch["state"], key_eval)
-        q_eval = jnp.take_along_axis(q, batch["action"][:, None], axis=1)[:, 0]
+        q_eval = onehot_select(q, batch["action"])
         q_target = jax.lax.stop_gradient(
             bellman_target(params, target_params, batch, key_tgt)
         )

@@ -146,6 +146,9 @@ class SechsNimmtEnv:
         for p, card in enumerate(actions):
             if not (0 <= card < self.config.num_cards) or not hands[p, card]:
                 held = sorted(np.flatnonzero(hands[p]).tolist())
+                # Message replicates the reference VERBATIM (env.py:117)
+                # including its mixed convention: 1-based played card, raw
+                # 0-based hand list.
                 raise InvalidMoveException(
                     f"Player {p + 1} tried to play card {card + 1}, but their hand is {held}"
                 )

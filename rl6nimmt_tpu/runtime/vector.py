@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-from ..agents.dqn import DQNConfig, q_network_spec, q_values
+from ..agents.dqn import DQNConfig, make_learn_step, q_network_spec, q_values
 from ..agents.reinforce import action_in_input_logits, log_probs_and_entropy
 from ..buffers.per import per_add_batch, per_sample, per_update
 from ..buffers.ring import ring_add_batch, ring_sample
@@ -51,11 +51,12 @@ NEG_INF = -1e9
 
 
 def make_random_rollout(cfg: EnvConfig, num_games: int, with_observations: bool = True):
-    """Jitted ``key -> (final_state, total_rewards[G, P])`` for G random games.
+    """Jitted ``key -> (final_state, total_rewards[G, P], obs_checksum[G])``.
 
-    ``with_observations=True`` builds the full 47-dim observation every turn
-    (parity with reference ``step`` which always returns fresh states,
-    env.py:64-77); ``False`` measures the bare dynamics.
+    Plays G random games to completion.  ``with_observations=True`` builds
+    the full 47-dim observation every turn (parity with reference ``step``
+    which always returns fresh states, env.py:64-77) and reduces it into the
+    per-game checksum; ``False`` measures the bare dynamics (checksum 0).
     """
     deal_batch = jax.vmap(functools.partial(deal, cfg))
     step_batch = jax.vmap(functools.partial(step, cfg))
@@ -185,6 +186,10 @@ def _make_fused_generations(
     return jax.jit(many)
 
 
+# NOTE: the games-last uniform sampler / sorted-hand shift below specialize
+# the XLA twins (uniform_legal above; engine/env.py step's hand maintenance)
+# to the transposed tile layout.  Divergence is gated by the bit-exactness
+# test vs the engine (tests/test_step_kernel.py) -- change them together.
 def _make_pallas_generations(
     cfg: EnvConfig, num_games: int, generations: int, with_observations: bool
 ):
@@ -484,47 +489,34 @@ def make_dqn_selfplay_step(
             "done": flat(done.astype(jnp.float32)),
         }
 
-    def bellman(params, target_params, batch, key):
-        not_done = 1.0 - batch["done"]
-        if dqn_cfg.double:
-            k1, k2 = jax.random.split(key)
-            ql = q_values(dqn_cfg, spec, params, batch["next_state"], k1 if dqn_cfg.noisy else None)
-            qt = q_values(dqn_cfg, spec, target_params, batch["next_state"], k2 if dqn_cfg.noisy else None)
-            idx = jnp.argmax(ql, axis=-1)
-            boot = onehot_select(qt, idx)
-        else:
-            qn = q_values(dqn_cfg, spec, params, batch["next_state"], key if dqn_cfg.noisy else None)
-            boot = jnp.max(qn, axis=-1)
-        return batch["reward"] + (gamma**n) * boot * not_done
+    # ONE Bellman implementation: the host learner's fused step (same
+    # double/dueling/noisy/PER math, soft-update gated on do_soft_update) --
+    # duplicated copies had already drifted on the retrain_interval cadence.
+    learn_step = make_learn_step(dqn_cfg, spec, optimizer, gamma)
 
-    def learn_once(carry, key):
+    def learn_once(carry, xs):
+        t, key = xs
         params, target_params, opt_state, buf = carry
-        sample_key, net_key, tgt_key = jax.random.split(key, 3)
+        sample_key, learn_key = jax.random.split(key)
         if dqn_cfg.per:
             buf, idx, weights, batch = per_sample(buf, sample_key, dqn_cfg.minibatch)
         else:
             idx, batch = ring_sample(buf, sample_key, dqn_cfg.minibatch)
             weights = jnp.ones(dqn_cfg.minibatch, jnp.float32)
-
-        def loss_fn(p):
-            q = q_values(dqn_cfg, spec, p, batch["state"], net_key if dqn_cfg.noisy else None)
-            q_eval = onehot_select(q, batch["action"])
-            target = lax.stop_gradient(bellman(p, target_params, batch, tgt_key))
-            err = q_eval - target
-            return jnp.mean(weights * err**2), jnp.abs(err)
-
-        (loss, abs_err), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        batch = dict(batch, weights=weights)
+        # Soft-update cadence: every retrain_interval-th learn step, like the
+        # host learner (dqn.py:304-353).  The counter restarts at step0 per
+        # cycle call; pass a running step0 (or keep learn_iters a multiple of
+        # retrain_interval, the default) for the exact host cadence.
+        do_soft = (t % dqn_cfg.retrain_interval) == 0
+        params, target_params, opt_state, loss, abs_err = learn_step(
+            params, target_params, opt_state, batch, do_soft, learn_key
+        )
         if dqn_cfg.per:
             buf = per_update(buf, idx, abs_err)
-        if dqn_cfg.double:
-            target_params = jax.tree.map(
-                lambda t, l: dqn_cfg.tau * l + (1 - dqn_cfg.tau) * t, target_params, params
-            )
         return (params, target_params, opt_state, buf), loss
 
-    def cycle(params, target_params, opt_state, buf, key, eps):
+    def cycle(params, target_params, opt_state, buf, key, eps, step0=0):
         roll_key, learn_key = jax.random.split(key)
         obs, actions, rewards, next_obs, scores = rollout(params, roll_key, eps)
         transitions = to_transitions(obs, actions, rewards, next_obs)
@@ -535,7 +527,7 @@ def make_dqn_selfplay_step(
         (params, target_params, opt_state, buf), losses = lax.scan(
             learn_once,
             (params, target_params, opt_state, buf),
-            jax.random.split(learn_key, learn_iters),
+            (step0 + jnp.arange(learn_iters), jax.random.split(learn_key, learn_iters)),
         )
         metrics = {
             "loss": jnp.mean(losses),
