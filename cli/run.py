@@ -65,10 +65,10 @@ def main(argv=None):
                         help="run each search decision as one device program "
                              "(agents/device_search.py)")
     parser.add_argument("--device-blocks", action="store_true",
-                        help="run eligible lineups (random/search seats) as "
-                             "COMPLETE games in one device program per player "
-                             "count (Tournament.play_device_block); implies "
-                             "lockstep chunking")
+                        help="run every lineup (random/search AND learner "
+                             "seats) as COMPLETE games in one device program "
+                             "per player count (Tournament.play_device_block); "
+                             "implies lockstep chunking")
     parser.add_argument("--platform", type=str, default=None,
                         help="force JAX platform (e.g. cpu)")
     parser.add_argument("-v", "--verbose", action="store_true")

@@ -46,10 +46,12 @@ def main(argv=None):
                              "(agents/device_search.py) instead of host-root "
                              "with per-round device playouts")
     parser.add_argument("--device-blocks", action="store_true",
-                        help="run eligible lineups (random/search seats) as "
-                             "COMPLETE games inside one device program per "
-                             "player count (Tournament.play_device_block); "
-                             "learner games fall back to the host block driver")
+                        help="run every lineup (random/search AND learner "
+                             "seats) as COMPLETE games inside one device "
+                             "program per player count "
+                             "(Tournament.play_device_block); only Human / "
+                             "temperature-PUCT seats fall back to the host "
+                             "block driver")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest stage checkpoint in "
                              "--checkpoint-dir (like the notebook reloading "

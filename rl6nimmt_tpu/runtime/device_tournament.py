@@ -12,26 +12,40 @@ index, reward — so the search learners' self-imitation updates
 (mcts.py:191-261) replay on host exactly as :class:`..runtime.block
 .BlockSession` replays them.
 
+Learner seats run on device too: the DQN lattice (dqn.py:196-261 acting:
+masked argmax, epsilon-greedy, noisy argmax), ACER (actor_critic.py:85-106
+softmax over the legal [action|state] rows), both REINFORCE variants
+(policy.py:15-201), and PUCTCustomed's value-argmax (mcts.py:325-451) are
+single net forwards per decision, compiled into the same kind-traced
+program as static "learner slots" (:class:`LearnerSlot`, one per distinct
+(family, architecture) in the population).  Their *learning* — replay-buffer
+updates, episode losses — replays host-side from the captured trajectory in
+the exact GameSession argument stream, like the search learners'
+self-imitation.
+
 Protocol notes (the block deviations of PARITY.md #10/#11 extended):
 
 * acting uses parameters frozen for the whole block (bounded staleness,
-  as in block mode);
+  as in block mode); for epsilon-greedy DQNs the frozen quantity includes
+  ``self.eps`` (refreshed by the replayed ``learn`` calls at block end);
 * ``learn`` receives the identical GameSession argument stream — reward lag,
   ``num_episode=0``, agent-info round trip with ``log_prob``/``step_record``
-  — replayed per game in block order after the device call returns;
-* the PRNG stream is JAX-key based (deals, determinizations, random seats),
-  so trajectories are not bit-identical to the host drivers; strength
-  equivalence is the tested property (see RESULTS.md);
-* agents whose family has no device decision (DQN/ACER/REINFORCE/Human/
-  PUCTCustomed, or PUCT with temperature sampling) make a lineup ineligible;
-  :meth:`..tournament.Tournament.play_device_block` routes those games
-  through the host :class:`BlockSession` instead.
+  /``log_probs``/``action_id`` — replayed per game in block order after the
+  device call returns;
+* the PRNG stream is JAX-key based (deals, determinizations, random seats,
+  epsilon draws, noisy-net noise, policy sampling), so trajectories are not
+  bit-identical to the host drivers; strength equivalence is the tested
+  property (see RESULTS.md);
+* only Human seats (stdin) and PUCT with temperature sampling have no device
+  decision; :meth:`..tournament.Tournament.play_device_block` routes those
+  games through the host :class:`BlockSession` instead.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,11 +61,160 @@ from ..agents.device_search import (
     factorial_table,
     playout_budget,
 )
+from ..agents.acer import BatchedACERAgent
+from ..agents.dqn import DQNAgent
 from ..agents.mcs import MCSAgent, PolicyMCSAgent, PUCTAgent, PUCTCustomedAgent
 from ..agents.random_agent import DrunkHamster
+from ..agents.reinforce import BatchedReinforceAgent, MaskedReinforceAgent
 from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
 from ..nets import MLPSpec, mlp_init
+
+# Traced seat kinds 0-3 are the search families (device_search.KIND_*);
+# learner seats get 4 + (index into the program's static LearnerSlot tuple).
+KIND_LEARNER_BASE = 4
+
+
+@dataclass(frozen=True)
+class LearnerSlot:
+    """One static (family, architecture) acting rule inside the program.
+
+    ``family``:
+
+    * ``"dqn"`` — masked argmax / epsilon-greedy / noisy argmax over Q
+      (dqn.py:196-261; dueling and noisy structure are encoded in ``spec``),
+    * ``"acer"`` — categorical over the legal [action|state] policy logits
+      with the reference's log-epsilon clamp (actor_critic.py:85-106),
+    * ``"rai"`` — action-in-input REINFORCE sampling (policy.py:137-172),
+    * ``"rmask"`` — masked 104-logit REINFORCE sampling (policy.py:40-77),
+    * ``"pv"`` — PUCTCustomed value-argmax over the (pi, V) head
+      (mcts.py:376-392 via _nn_choice).
+    """
+
+    family: str
+    spec: MLPSpec
+
+    def sort_key(self):
+        return (self.family, repr(self.spec))
+
+
+def _make_learner_decide(cfg: EnvConfig, slots: Tuple[LearnerSlot, ...]):
+    """Per-seat learner decision: ``(lparams, kind, my_hand, obs, eps, key)
+    -> (pick, log_prob, log_probs_vec)``.
+
+    Every slot's (tiny) forward runs unconditionally and the traced ``kind``
+    selects the result — learner decisions are single MLP evaluations, so
+    computing all of them costs less than a branchy select would.  Keys are
+    ``fold_in`` splits of the seat key at indices 1-3, leaving the search
+    kinds' stream (loop key + ``fold_in(key, 0)`` for random seats) intact.
+    ``log_probs_vec`` is ACER's behavior-policy vector over the padded hand
+    (zeros for other families).
+    """
+    from ..agents.acer import actor_critic_heads
+    from ..agents.mcs import _policy_value
+    from ..agents.reinforce import action_in_input_logits, masked_policy_logits
+    from ..nets import dueling_apply, mlp_apply
+
+    C, H = cfg.num_cards, cfg.hand_size
+
+    def decide(lparams, kind, my_hand, obs, eps, key):
+        valid = my_hand >= 0
+        logp_uni = jnp.where(valid, 0.0, -jnp.inf)
+        k_samp = jax.random.fold_in(key, 1)
+        k_noise = jax.random.fold_in(key, 2)
+        k_eps = jax.random.fold_in(key, 3)
+        picks, logps, vecs = [], [], []
+        zeros_vec = jnp.zeros((H,), jnp.float32)
+        for s, slot in enumerate(slots):
+            p = lparams[s]
+            if slot.family == "dqn":
+                qkey = k_noise if slot.spec.noisy else None
+                if len(slot.spec.head_sizes) == 2:
+                    q = dueling_apply(slot.spec, p, obs[None], qkey)[0]
+                else:
+                    (q,) = mlp_apply(slot.spec, p, obs[None], qkey)
+                    q = q[0]
+                # argmax over the legal subset == the host's -1e8 masking
+                # (hand ascending, first-max tie-break both ways).
+                q_hand = jnp.where(valid, q[jnp.clip(my_hand, 0, C - 1)], -jnp.inf)
+                pick_greedy = jnp.argmax(q_hand).astype(jnp.int32)
+                explore = jax.random.uniform(k_eps) <= eps
+                pick_rand = jax.random.categorical(
+                    jax.random.fold_in(k_eps, 1), logp_uni
+                ).astype(jnp.int32)
+                pick = jnp.where(explore, pick_rand, pick_greedy)
+                logp, vec = jnp.zeros((), jnp.float32), zeros_vec
+            elif slot.family == "acer":
+                lp, _ = actor_critic_heads(slot.spec, p, obs, my_hand)
+                pick = jax.random.categorical(
+                    k_samp, jnp.where(valid, lp, -jnp.inf)
+                ).astype(jnp.int32)
+                logp, vec = lp[pick], lp
+            elif slot.family == "rai":
+                logits = action_in_input_logits(slot.spec, p, obs, my_hand)
+                pick = jax.random.categorical(k_samp, logits).astype(jnp.int32)
+                logp, vec = jax.nn.log_softmax(logits)[pick], zeros_vec
+            elif slot.family == "rmask":
+                mask = (
+                    jnp.zeros((C,), bool)
+                    .at[jnp.where(valid, my_hand, C)]
+                    .set(True, mode="drop")
+                )
+                logits = masked_policy_logits(slot.spec, p, obs, mask)
+                card = jax.random.categorical(k_samp, logits).astype(jnp.int32)
+                pick = jnp.argmax(my_hand == card).astype(jnp.int32)
+                logp, vec = jax.nn.log_softmax(logits)[card], zeros_vec
+            elif slot.family == "pv":
+                lp, values = _policy_value(slot.spec, p, obs, my_hand)
+                pick = jnp.argmax(values).astype(jnp.int32)
+                logp, vec = lp[pick], zeros_vec
+            else:  # pragma: no cover - slots are built by seat_slot below
+                raise ValueError(f"unknown learner family {slot.family!r}")
+            picks.append(pick)
+            logps.append(logp.astype(jnp.float32))
+            vecs.append(vec)
+        sel = jnp.clip(kind - KIND_LEARNER_BASE, 0, len(slots) - 1)
+        return jnp.stack(picks)[sel], jnp.stack(logps)[sel], jnp.stack(vecs)[sel]
+
+    return decide
+
+
+@functools.lru_cache(maxsize=None)
+def _make_decide_unified_ext(
+    cfg: EnvConfig,
+    spec: MLPSpec,
+    max_n_mc: int,
+    batch: int,
+    slots: Tuple[LearnerSlot, ...],
+):
+    """Kind-traced decision covering search kinds 0-3 AND learner slots.
+
+    Wraps :func:`..agents.device_search._make_decide_unified` (whose key
+    stream and semantics stay bit-identical for kinds 0-3 — learner seats
+    pass ``n_mc = 0``, so the search loop never runs for them) and overlays
+    the learner families' single-forward decisions.  Returns ``(action,
+    log_prob, pick, log_probs_vec)``.
+    """
+    base = _make_decide_unified(cfg, spec, max_n_mc, batch)
+    learner = _make_learner_decide(cfg, slots) if slots else None
+    H = cfg.hand_size
+
+    def decide(params, lparams, kind, board, row_len, my_hand, n, n_mc, c_puct, eps, avail, obs, key):
+        action, logp, pick = base(
+            params, kind, board, row_len, my_hand, n, n_mc, c_puct, avail, obs, key
+        )
+        vec = jnp.zeros((H,), jnp.float32)
+        if learner is not None:
+            hand = my_hand.astype(jnp.int32)
+            pick_l, logp_l, vec_l = learner(lparams, kind, hand, obs, eps, key)
+            is_learner = kind >= KIND_LEARNER_BASE
+            pick = jnp.where(is_learner, pick_l, pick)
+            logp = jnp.where(is_learner, logp_l, logp)
+            vec = jnp.where(is_learner, vec_l, vec)
+            action = hand[pick]
+        return action, logp, pick, vec
+
+    return decide
 
 @functools.lru_cache(maxsize=None)
 def _zero_params(spec: MLPSpec):
@@ -72,43 +235,51 @@ def make_device_block_fn(
     num_games: int,
     mc_max: int,
     batch: int = 8,
+    slots: Tuple[LearnerSlot, ...] = (),
 ):
     """Compile G heterogeneous games + trajectory capture into one program.
 
-    ``(params, kinds, mc_maxes, mc_pers, c_pucts, key) ->
+    ``(params, lparams, kinds, mc_maxes, mc_pers, c_pucts, epses, key) ->
     (scores f32[G, P], traj, final_obs f32[G, P, S])`` where
 
-    * ``params`` — per-(game, seat) stacked net params ``[G, P, ...]``
-      (zeros for random/uniform seats),
-    * ``kinds int32[G, P]`` — KIND_* per seat,
+    * ``params`` — per-(game, seat) stacked search-net params ``[G, P, ...]``
+      (zeros for seats without a prior net),
+    * ``lparams`` — tuple over ``slots`` of per-(game, seat) stacked learner
+      params ``[G, P, ...]`` (zeros for seats not using that slot),
+    * ``kinds int32[G, P]`` — KIND_* per seat (learner seats:
+      ``KIND_LEARNER_BASE + slot index``),
     * ``mc_maxes / mc_pers int32[G, P]`` — per-seat budget parameters
       (``n_mc = min(mc_max, mc_per * n!)``, mcts.py:105-106),
     * ``c_pucts f32[G, P]`` — PUCT exploration constants,
+    * ``epses f32[G, P]`` — epsilon-greedy exploration rates (DQN seats),
     * ``traj`` — per-turn stacks: ``obs f32[T, G, P, S]``, ``hands
       int32[T, G, P, H]`` (the padded legal hands before the turn),
       ``picks int32[T, G, P]`` (chosen index into the padded hand),
-      ``logps f32[T, G, P]``, ``rewards int32[T, G, P]``.
+      ``logps f32[T, G, P]``, ``logp_vecs f32[T, G, P, H]`` (ACER's
+      behavior log-prob vectors), ``rewards int32[T, G, P]``.
 
     ``mc_max`` (static) is the budget ceiling sizing the outcome buffers;
     per-seat traced budgets below it run fewer rounds (the round loop bound
-    is traced).  Random seats run zero rounds.
+    is traced).  Random and learner seats run zero rounds.
     """
     P, C, H, G = cfg.num_players, cfg.num_cards, cfg.hand_size, num_games
     fact = factorial_table(H)
-    decide = _make_decide_unified(cfg, spec, mc_max, batch)
+    decide = _make_decide_unified_ext(cfg, spec, mc_max, batch, slots)
 
     def board_seen(state):
         cards = state.board.reshape(G, -1)
         hit = cards[:, :, None] == jnp.arange(C)[None, None, :]
         return jnp.any(hit, axis=1)
 
-    def match(params, kinds, mc_maxes, mc_pers, c_pucts, key):
+    def match(params, lparams, kinds, mc_maxes, mc_pers, c_pucts, epses, key):
         key, k_deal = jax.random.split(key)
         states = jax.vmap(lambda k: deal(cfg, k))(jax.random.split(k_deal, G))
         seen0 = board_seen(states)
 
-        inner = jax.vmap(decide, in_axes=(0, 0, None, None, 0, None, 0, 0, 0, 0, 0))
-        outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, 0, 0))
+        inner = jax.vmap(
+            decide, in_axes=(0, 0, 0, None, None, 0, None, 0, 0, 0, 0, 0, 0)
+        )
+        outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0, 0, None, 0, 0, 0, 0, 0, 0))
 
         def turn(carry, t):
             state, seen, key = carry
@@ -116,12 +287,14 @@ def make_device_block_fn(
             seen = seen | board_seen(state)
             obs, _ = jax.vmap(lambda s: observe(cfg, s))(state)
             n_mc = playout_budget(mc_maxes, mc_pers, fact[n])
-            n_mc = jnp.where(kinds == KIND_RANDOM, 0, n_mc)
+            playout_free = (kinds == KIND_RANDOM) | (kinds >= KIND_LEARNER_BASE)
+            n_mc = jnp.where(playout_free, 0, n_mc)
             # Card memory: unseen cards, own hand excluded (mcts.py:62-73).
             avail = ~(seen[:, None, :] | state.hands)
             key, k_dec = jax.random.split(key)
-            actions, logps, picks = outer(
+            actions, logps, picks, logp_vecs = outer(
                 params,
+                lparams,
                 kinds,
                 state.board,
                 state.row_len,
@@ -129,6 +302,7 @@ def make_device_block_fn(
                 n,
                 n_mc,
                 c_pucts,
+                epses,
                 avail,
                 obs,
                 jax.random.split(k_dec, (G, P)),
@@ -139,6 +313,7 @@ def make_device_block_fn(
                 hands=state.hands_sorted,
                 picks=picks,
                 logps=logps,
+                logp_vecs=logp_vecs,
                 rewards=rewards,
             )
             return (new_state, seen, key), ys
@@ -154,11 +329,15 @@ def make_device_block_fn(
 
 
 def seat_kind(agent) -> Optional[int]:
-    """KIND_* for agents with a device decision, None otherwise."""
+    """KIND_* for agents with a device *search* decision, None otherwise.
+
+    (Learner families are device-eligible too, via :func:`seat_slot`; this
+    search-only view is kept for the kind-static decision callers.)
+    """
     if isinstance(agent, DrunkHamster):
         return KIND_RANDOM
     if isinstance(agent, PUCTCustomedAgent):
-        return None  # playout-free (pi, V) decisions stay host-side
+        return None  # playout-free (pi, V) decisions: a "pv" learner slot
     if isinstance(agent, PUCTAgent):
         if agent.temperature is not None and agent.temperature > 1e-12:
             return None  # NotImplementedError parity (mcts.py:318-323)
@@ -175,25 +354,63 @@ def seat_kind(agent) -> Optional[int]:
     return None
 
 
+def seat_slot(agent):
+    """Device decision for one seat.
+
+    Returns ``("search", KIND_*)`` for the search families, ``("learner",
+    LearnerSlot)`` for single-forward families (DQN lattice, ACER, REINFORCE
+    variants, PUCTCustomed), or ``None`` when the seat has no device decision
+    (Human stdin seats, PUCT with temperature sampling, non-ACER actor-critic
+    bases whose ``learn`` raises).
+    """
+    if isinstance(agent, PUCTCustomedAgent):
+        return "learner", LearnerSlot("pv", agent.spec)
+    kind = seat_kind(agent)
+    if kind is not None:
+        return "search", kind
+    if isinstance(agent, DQNAgent):
+        return "learner", LearnerSlot("dqn", agent.spec)
+    if isinstance(agent, BatchedACERAgent):
+        if agent.max_num_actions != agent.env_config.hand_size:
+            return None  # padded log_probs would not line up with the hand
+        return "learner", LearnerSlot("acer", agent.spec)
+    if isinstance(agent, MaskedReinforceAgent):
+        return "learner", LearnerSlot("rmask", agent.spec)
+    if isinstance(agent, BatchedReinforceAgent):
+        return "learner", LearnerSlot("rai", agent.spec)
+    return None
+
+
+def _seat_dims(agent, role) -> tuple:
+    """Env dimensions a seat assumes (for mixed-lineup consistency checks)."""
+    if role == "search" and not isinstance(agent, DrunkHamster):
+        return (
+            agent.num_rows,
+            agent.num_cards,
+            agent.threshold,
+            agent.include_summaries,
+            agent.handsize,
+        )
+    ec = agent.env_config
+    return (ec.num_rows, ec.num_cards, ec.threshold, ec.include_summaries, ec.hand_size)
+
+
 def lineup_signature(agents) -> Optional[tuple]:
-    """(EnvConfig, MLPSpec | None) if the lineup can run on device, else None."""
-    kinds = [seat_kind(a) for a in agents]
-    if any(k is None for k in kinds):
+    """(EnvConfig, MLPSpec | None, frozenset[LearnerSlot]) if the lineup can
+    run on device, else None."""
+    roles = [seat_slot(a) for a in agents]
+    if any(r is None for r in roles):
         return None
-    dims, specs = set(), set()
-    for agent, kind in zip(agents, kinds):
-        if kind != KIND_RANDOM:
-            dims.add(
-                (
-                    agent.num_rows,
-                    agent.num_cards,
-                    agent.threshold,
-                    agent.include_summaries,
-                    agent.handsize,
-                )
-            )
-        if kind in (KIND_POLICY, KIND_PUCT):
-            specs.add(agent.spec)
+    dims, specs, slots = set(), set(), set()
+    for agent, (role, what) in zip(agents, roles):
+        if role == "search":
+            if what != KIND_RANDOM:
+                dims.add(_seat_dims(agent, role))
+            if what in (KIND_POLICY, KIND_PUCT):
+                specs.add(agent.spec)
+        else:
+            dims.add(_seat_dims(agent, role))
+            slots.add(what)
     if len(dims) > 1 or len(specs) > 1:
         return None
     num_rows, num_cards, threshold, summaries, handsize = (
@@ -207,7 +424,7 @@ def lineup_signature(agents) -> Optional[tuple]:
         include_summaries=summaries,
         hand_size=handsize,
     )
-    return cfg, (specs.pop() if specs else None)
+    return cfg, (specs.pop() if specs else None), frozenset(slots)
 
 
 def device_lineup_eligible(agents) -> bool:
@@ -228,6 +445,7 @@ class DeviceBlockSession:
         batch: int = 8,
         bucket: Optional[int] = None,
         mesh=None,
+        slots: Optional[Tuple[LearnerSlot, ...]] = None,
     ):
         assert lineups, "need at least one game"
         P = len(lineups[0])
@@ -248,8 +466,8 @@ class DeviceBlockSession:
         self.mesh = mesh
         sigs = {lineup_signature(agents) for agents in self.lineups}
         assert None not in sigs, "ineligible lineup (use BlockSession)"
-        cfgs = {cfg for cfg, _ in sigs}
-        specs = {spec for _, spec in sigs if spec is not None}
+        cfgs = {cfg for cfg, _, _ in sigs}
+        specs = {spec for _, spec, _ in sigs if spec is not None}
         assert len(cfgs) == 1 and len(specs) <= 1, "mixed env dims / net specs"
         self.cfg = cfgs.pop()
         self.spec = specs.pop() if specs else MLPSpec(
@@ -257,6 +475,17 @@ class DeviceBlockSession:
             hidden_sizes=(100, 100),
             head_sizes=(1,),
         )
+        # Learner slots: callers (the tournament) pass the population-wide
+        # set so every block reuses ONE compiled program; standalone use
+        # derives them from the lineups.  Order is canonicalized for the
+        # compile cache.
+        needed = set().union(*(s for _, _, s in sigs))
+        if slots is None:
+            slots = tuple(sorted(needed, key=LearnerSlot.sort_key))
+        else:
+            slots = tuple(slots)
+            assert needed <= set(slots), "lineup uses a learner slot not provided"
+        self.slots = slots
         self.results: List[np.ndarray] = []
 
     def play(self) -> List[np.ndarray]:
@@ -269,30 +498,57 @@ class DeviceBlockSession:
             B = -(-B // self.mesh.size) * self.mesh.size
         assert B >= G, (B, G)
 
+        slots = self.slots
+        slot_index = {slot: s for s, slot in enumerate(slots)}
         kinds = np.zeros((B, P), np.int32)
         mc_maxes = np.zeros((B, P), np.int32)
         mc_pers = np.zeros((B, P), np.int32)
         c_pucts = np.zeros((B, P), np.float32)
+        epses = np.zeros((B, P), np.float32)
+        # families[g][p]: "random" | "search" | a LearnerSlot family string,
+        # driving the learn-replay info per seat.
+        families: List[List[str]] = [["random"] * P for _ in range(B)]
         zero_params = _zero_params(self.spec)
-        rows = []
+        rows, lrows = [], [[] for _ in slots]
         for g in range(B):
             agents = self.lineups[min(g, G - 1)]  # pad rows repeat the last game
             seat_params = []
+            seat_lparams = [[] for _ in slots]
             for p, agent in enumerate(agents):
-                kind = seat_kind(agent)
-                kinds[g, p] = kind
-                if kind != KIND_RANDOM:
-                    mc_maxes[g, p] = agent.mc_max
-                    mc_pers[g, p] = agent.mc_per_card
-                c_pucts[g, p] = float(getattr(agent, "c_puct", 0.0) or 0.0)
-                params = agent.params if kind in (KIND_POLICY, KIND_PUCT) else None
+                role, what = seat_slot(agent)
+                params = None
+                if role == "search":
+                    kinds[g, p] = what
+                    families[g][p] = "random" if what == KIND_RANDOM else "search"
+                    if what != KIND_RANDOM:
+                        mc_maxes[g, p] = agent.mc_max
+                        mc_pers[g, p] = agent.mc_per_card
+                    c_pucts[g, p] = float(getattr(agent, "c_puct", 0.0) or 0.0)
+                    if what in (KIND_POLICY, KIND_PUCT):
+                        params = agent.params
+                else:
+                    s = slot_index[what]
+                    kinds[g, p] = KIND_LEARNER_BASE + s
+                    families[g][p] = what.family
+                    if what.family == "dqn" and not what.spec.noisy:
+                        epses[g, p] = float(agent.eps)
                 seat_params.append(zero_params if params is None else params)
+                for s, slot in enumerate(slots):
+                    use = role == "learner" and slot_index[what] == s
+                    seat_lparams[s].append(
+                        agent.params if use else _zero_params(slot.spec)
+                    )
             rows.append(jax.tree.map(lambda *l: np.stack(l), *seat_params))
+            for s in range(len(slots)):
+                lrows[s].append(jax.tree.map(lambda *l: np.stack(l), *seat_lparams[s]))
         params = jax.tree.map(lambda *l: np.stack(l), *rows)
+        lparams = tuple(
+            jax.tree.map(lambda *l: np.stack(l), *lrows[s]) for s in range(len(slots))
+        )
 
         mc_ceiling = int(max(self.batch, mc_maxes.max(), 1))
         mc_ceiling = 1 << (mc_ceiling - 1).bit_length()  # pow2: bounded compiles
-        fn = make_device_block_fn(self.cfg, self.spec, B, mc_ceiling, self.batch)
+        fn = make_device_block_fn(self.cfg, self.spec, B, mc_ceiling, self.batch, slots)
         key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
@@ -302,37 +558,64 @@ class DeviceBlockSession:
                 self.mesh, Pspec(names if len(names) > 1 else names[0])
             )
             put = lambda t: jax.tree.map(lambda x: jax.device_put(x, games), t)
-            params, kinds, mc_maxes, mc_pers, c_pucts = (
-                put(params), put(kinds), put(mc_maxes), put(mc_pers), put(c_pucts)
+            params, lparams, kinds, mc_maxes, mc_pers, c_pucts, epses = (
+                put(params), put(lparams), put(kinds), put(mc_maxes),
+                put(mc_pers), put(c_pucts), put(epses),
             )
             key = jax.device_put(key, NamedSharding(self.mesh, Pspec()))
-        scores, traj, final_obs = fn(params, kinds, mc_maxes, mc_pers, c_pucts, key)
+        scores, traj, final_obs = fn(
+            params, lparams, kinds, mc_maxes, mc_pers, c_pucts, epses, key
+        )
 
         scores = np.asarray(scores)[:G]
         obs = np.asarray(traj["obs"], np.float32)[:, :G]
         hands = np.asarray(traj["hands"], np.int32)[:, :G]
         picks = np.asarray(traj["picks"], np.int32)[:, :G]
         logps = np.asarray(traj["logps"], np.float32)[:, :G]
+        logp_vecs = np.asarray(traj["logp_vecs"], np.float32)[:, :G]
         rewards = np.asarray(traj["rewards"], np.int64)[:, :G]
         final_obs = np.asarray(final_obs, np.float32)[:G]
 
         # ---- learn: replay the GameSession argument stream per game in
         # block order (reward lag incl., play.py:29-72; cf. BlockSession).
+        # Per-family agent infos mirror what each host forward returns
+        # (and its learn consumes): search/pv/reinforce step records,
+        # ACER's behavior log_probs + action_id, nothing for DQN/random.
         for g, agents in enumerate(self.lineups):
             prev_rewards = np.zeros(P, np.int64)
             for t in range(H):
                 done = t == H - 1
                 for i, agent in enumerate(agents):
-                    action = int(hands[t, g, i, picks[t, g, i]])
-                    if kinds[g, i] == KIND_RANDOM:
+                    pick = int(picks[t, g, i])
+                    action = int(hands[t, g, i, pick])
+                    fam = families[g][i]
+                    if fam in ("random", "dqn"):
                         info = {}
-                    else:
+                    elif fam == "acer":
+                        info = {
+                            "log_probs": logp_vecs[t, g, i],
+                            "action_id": pick,
+                        }
+                    elif fam == "rmask":
+                        mask = np.zeros(self.cfg.num_cards, dtype=bool)
+                        mask[hands[t, g, i][hands[t, g, i] >= 0]] = True
+                        info = {
+                            "log_prob": float(logps[t, g, i]),
+                            "step_record": {
+                                "state": obs[t, g, i],
+                                "legal_mask": mask,
+                                # masked variant: chosen indexes the 104-card
+                                # logit vector, i.e. the card itself.
+                                "chosen": np.int32(action),
+                            },
+                        }
+                    else:  # search / pv / rai: padded-hand step records
                         info = {
                             "log_prob": float(logps[t, g, i]),
                             "step_record": {
                                 "state": obs[t, g, i],
                                 "legal_cards": hands[t, g, i],
-                                "chosen": np.int32(picks[t, g, i]),
+                                "chosen": np.int32(pick),
                             },
                         }
                     agent.learn(

@@ -191,36 +191,55 @@ class Tournament:
         """Play ``n_games`` with eligible lineups fused into device programs.
 
         Lineup sampling and scoring are identical to :meth:`play_block`;
-        games whose every seat has a device decision (random / MCS /
-        PolicyMCS / PUCT, :func:`~rl6nimmt_tpu.runtime.device_tournament
-        .seat_kind`) run as COMPLETE games inside one kind-traced jitted
+        games whose every seat has a device decision — the search families
+        (random / MCS / PolicyMCS / PUCT) AND the single-forward learner
+        families (the DQN lattice, ACER, both REINFORCE variants,
+        PUCTCustomed), :func:`~rl6nimmt_tpu.runtime.device_tournament
+        .seat_slot` — run as COMPLETE games inside one kind-traced jitted
         program per player count (deal, per-seat determinized search with
-        on-device card memory, resolution, all turns), with the search
-        learners' self-imitation updates replayed host-side from the
-        captured trajectories.  Remaining games (learners, humans,
-        PUCTCustomed) go through the host :class:`BlockSession`.  Parameter
-        staleness is bounded by the block, as in :meth:`play_block`
-        (PARITY.md deviations #10/#11).
+        on-device card memory, per-seat learner forwards, resolution, all
+        turns), with every learner's updates replayed host-side from the
+        captured trajectories.  Remaining games (Human seats, PUCT with
+        temperature sampling) go through the host :class:`BlockSession`.
+        Parameter staleness is bounded by the block, as in
+        :meth:`play_block` (PARITY.md deviations #10/#11/#12).
         """
         from ..runtime.block import BlockSession
-        from ..runtime.device_tournament import DeviceBlockSession, lineup_signature
+        from ..runtime.device_tournament import (
+            DeviceBlockSession,
+            LearnerSlot,
+            lineup_signature,
+            seat_slot,
+        )
+
+        # Learner slots are population-wide (not per-lineup) so every block
+        # of the tournament reuses the same compiled programs regardless of
+        # which lineups the sampler draws; culled-but-retained agents keep
+        # their slot alive so evolution never forces a recompile.
+        slots = set()
+        for name in self.agents:
+            role = seat_slot(self.agents[name])
+            if role is not None and role[0] == "learner":
+                slots.add(role[1])
+        slots = tuple(sorted(slots, key=LearnerSlot.sort_key))
 
         picks = [self._choose_players(num_players) for _ in range(n_games)]
         device_groups, host = {}, []
         for j, (names, agents) in enumerate(picks):
-            # Group by the full device signature (env dims + net spec), not
-            # just player count: individually-eligible lineups may still mix
-            # architectures that cannot share one compiled program.
+            # Group by env dims + search-net spec, not just player count:
+            # individually-eligible lineups may still mix architectures that
+            # cannot share one compiled program.
             sig = lineup_signature(agents)
             if sig is not None:
-                device_groups.setdefault(sig, []).append((j, agents))
+                device_groups.setdefault(sig[:2], []).append((j, agents))
             else:
                 host.append((j, agents))
 
         scores = {}
         for group in device_groups.values():
             results = DeviceBlockSession(
-                [agents for _, agents in group], bucket=bucket, mesh=mesh
+                [agents for _, agents in group], bucket=bucket, mesh=mesh,
+                slots=slots,
             ).play()
             for (j, _), game_scores in zip(group, results):
                 scores[j] = game_scores

@@ -151,11 +151,13 @@ def test_seat_kind_and_eligibility():
     assert seat_kind(PUCTAgent(mc_max=4)) == KIND_PUCT
 
     from rl6nimmt_tpu.agents.dqn import DQNVanilla
+    from rl6nimmt_tpu.agents.human import Human
 
     dqn = DQNVanilla()
-    assert seat_kind(dqn) is None
+    assert seat_kind(dqn) is None  # search-only view: DQN is a learner slot
     assert device_lineup_eligible([DrunkHamster(), MCSAgent(mc_max=4)])
-    assert not device_lineup_eligible([DrunkHamster(), dqn])
+    assert device_lineup_eligible([DrunkHamster(), dqn])
+    assert not device_lineup_eligible([DrunkHamster(), Human()])
 
 
 def test_device_session_sharded_over_mesh_matches_single_device():
