@@ -1,0 +1,99 @@
+"""Profile the device-block tournament path: where does a warm block go?
+
+Mirrors ``Tournament.play_device_block``'s grouping (same lineup sampler,
+same signature buckets) for one block of N games with the notebook
+population (Random, D3QN, ACER, MCS, Alpha0.5), and prints the per-group
+wall split recorded by ``DeviceBlockSession.timings``:
+
+* ``assemble_s`` — host: stacking per-seat params + block inputs,
+* ``device_s``  — the fused device program including the trajectory fetch
+  (which bounds execution on tunneled backends),
+* ``replay_s``  — host: replaying every learner's ``learn`` stream.
+
+Run twice internally (cold block compiles, warm block measures).
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import rl6nimmt_tpu
+
+rl6nimmt_tpu.enable_compilation_cache()
+
+from rl6nimmt_tpu.agents import (
+    BatchedACERAgent,
+    DrunkHamster,
+    MCSAgent,
+    Noisy_D3QN_PRB_NStep,
+    PUCTAgent,
+)
+from rl6nimmt_tpu.runtime.device_tournament import (
+    DeviceBlockSession,
+    LearnerSlot,
+    lineup_signature,
+    seat_slot,
+)
+from rl6nimmt_tpu.tournament import Tournament
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--games", type=int, default=100)
+    parser.add_argument("--mc-max", type=int, default=200)
+    parser.add_argument("--blocks", type=int, default=2)
+    args = parser.parse_args(argv)
+
+    np.random.seed(0)
+    agents = {
+        "Random": DrunkHamster(seed=0),
+        "D3QN": Noisy_D3QN_PRB_NStep(history_length=int(1e5), n_steps=10, seed=1),
+        "ACER": BatchedACERAgent(minibatch=10, seed=2),
+        "MCS": MCSAgent(mc_max=args.mc_max, seed=3),
+        "Alpha0.5": PUCTAgent(mc_max=args.mc_max, seed=4),
+    }
+    for a in agents.values():
+        try:
+            a.train()
+        except Exception:
+            pass
+    tournament = Tournament(min_players=2, max_players=4)
+    for name, agent in agents.items():
+        tournament.add_player(name, agent)
+
+    slots = set()
+    for name in tournament.agents:
+        role = seat_slot(tournament.agents[name])
+        if role is not None and role[0] == "learner":
+            slots.add(role[1])
+    slots = tuple(sorted(slots, key=LearnerSlot.sort_key))
+
+    for b in range(args.blocks):
+        picks = [tournament._choose_players(None) for _ in range(args.games)]
+        groups = {}
+        for j, (names, ags) in enumerate(picks):
+            sig = lineup_signature(ags)
+            groups.setdefault(sig[:2], []).append((j, ags))
+        t0 = time.perf_counter()
+        label = "cold" if b == 0 else "warm"
+        for (cfg, _), group in groups.items():
+            sess = DeviceBlockSession(
+                [ags for _, ags in group], bucket=None, slots=slots
+            )
+            sess.play()
+            t = sess.timings
+            print(
+                f"[{label}] P={cfg.num_players} games={len(group)} "
+                f"assemble={t['assemble_s']:.2f}s device={t['device_s']:.2f}s "
+                f"replay={t['replay_s']:.2f}s"
+            )
+        print(f"[{label}] block total: {time.perf_counter() - t0:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

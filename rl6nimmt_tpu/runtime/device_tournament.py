@@ -487,8 +487,15 @@ class DeviceBlockSession:
             assert needed <= set(slots), "lineup uses a learner slot not provided"
         self.slots = slots
         self.results: List[np.ndarray] = []
+        # Wall-clock split of the last play() call: host param assembly,
+        # device program (incl. the result fetch, which bounds execution on
+        # tunneled backends), and the host-side learn replay.
+        self.timings: dict = {}
 
     def play(self) -> List[np.ndarray]:
+        import time as _time
+
+        t0 = _time.perf_counter()
         G, P, H = len(self.lineups), self.cfg.num_players, self.cfg.hand_size
         B = self.bucket or max(1, 1 << (G - 1).bit_length())  # pow2 game bucket
         if self.mesh is not None:
@@ -563,6 +570,7 @@ class DeviceBlockSession:
                 put(mc_pers), put(c_pucts), put(epses),
             )
             key = jax.device_put(key, NamedSharding(self.mesh, Pspec()))
+        t1 = _time.perf_counter()
         scores, traj, final_obs = fn(
             params, lparams, kinds, mc_maxes, mc_pers, c_pucts, epses, key
         )
@@ -575,6 +583,7 @@ class DeviceBlockSession:
         logp_vecs = np.asarray(traj["logp_vecs"], np.float32)[:, :G]
         rewards = np.asarray(traj["rewards"], np.int64)[:, :G]
         final_obs = np.asarray(final_obs, np.float32)[:G]
+        t2 = _time.perf_counter()
 
         # ---- learn: replay the GameSession argument stream per game in
         # block order (reward lag incl., play.py:29-72; cf. BlockSession).
@@ -635,5 +644,11 @@ class DeviceBlockSession:
                     )
                 prev_rewards = rewards[t, g]
 
+        t3 = _time.perf_counter()
+        self.timings = {
+            "assemble_s": t1 - t0,
+            "device_s": t2 - t1,
+            "replay_s": t3 - t2,
+        }
         self.results = [scores[g] for g in range(G)]
         return self.results
