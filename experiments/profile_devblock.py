@@ -47,7 +47,17 @@ def main(argv=None):
     parser.add_argument("--games", type=int, default=100)
     parser.add_argument("--mc-max", type=int, default=200)
     parser.add_argument("--blocks", type=int, default=2)
+    parser.add_argument(
+        "--bucket", type=int, default=None,
+        help="fixed game-axis compile width shared by every group in every "
+             "block (default: the pow2 ceiling of --games, so cold and warm "
+             "blocks always land in the same compiled program)",
+    )
     args = parser.parse_args(argv)
+    # One fixed bucket across both blocks: bucket=None would let each group
+    # compile at the pow2 ceiling of its own (random) size, so the warm block
+    # could recompile and contaminate the measurement this script exists for.
+    bucket = args.bucket or max(8, 1 << (args.games - 1).bit_length())
 
     np.random.seed(0)
     agents = {
@@ -83,7 +93,7 @@ def main(argv=None):
         label = "cold" if b == 0 else "warm"
         for (cfg, _), group in groups.items():
             sess = DeviceBlockSession(
-                [ags for _, ags in group], bucket=None, slots=slots
+                [ags for _, ags in group], bucket=bucket, slots=slots
             )
             sess.play()
             t = sess.timings

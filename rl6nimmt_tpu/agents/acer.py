@@ -256,6 +256,7 @@ def make_acer_train_step(
     truncate: float = 1.0,
     actor_weight: float = 1.0,
     critic_weight: float = 1.0,
+    axis_name=None,
 ):
     """ACER update over a batch of padded sequences (shared by the
     interactive agent and the vectorized self-play trainer).
@@ -263,6 +264,14 @@ def make_acer_train_step(
     ``train(params, opt_state, batch)`` expects ``batch`` leaves with leading
     axes ``[B, T, ...]``: state, legal_cards, log_probs (behavior), action_id,
     reward, done, plus ``length [B]``.
+
+    With ``axis_name`` set (for use under ``shard_map``), gradients and
+    losses are ``lax.pmean``-reduced over that mesh axis before the optimizer
+    update -- true synchronous data parallelism over the concatenated global
+    sequence batch.  (Exact global-batch equivalence holds when all
+    sequences have equal lengths -- always true for the vectorized self-play
+    rollouts, where every episode is ``max_turns`` steps -- because each
+    device's per-step weighting then reduces to a plain local mean.)
     """
     aw, cw = actor_weight, critic_weight
 
@@ -321,6 +330,9 @@ def make_acer_train_step(
             return aw * al + cl + crl, (al, cl, crl)
 
         (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            losses = jax.lax.pmean(losses, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses

@@ -84,13 +84,26 @@ def q_values(cfg: DQNConfig, spec: MLPSpec, params, states, key=None):
     return q
 
 
-def make_learn_step(cfg: DQNConfig, spec: MLPSpec, optimizer, gamma: float):
+def make_learn_step(
+    cfg: DQNConfig, spec: MLPSpec, optimizer, gamma: float, axis_name=None
+):
     """Build the fused jitted Bellman update.
 
     Signature: ``(params, target_params, opt_state, batch, do_soft_update,
-    key) -> (params, target_params, opt_state, loss, abs_err)`` where batch
-    holds ``state/action/reward/next_state/done/weights`` with leading
-    minibatch axis.  ``target_params`` is ignored for single-net configs.
+    key) -> (params, target_params, opt_state, loss, abs_err, q_target)``
+    where batch holds ``state/action/reward/next_state/done/weights`` with
+    leading minibatch axis.  ``target_params`` is ignored for single-net
+    configs.  ``q_target`` is the Bellman target vector (host observability:
+    the reference logs ``q_target.max()`` as ``debug/bellman_target``,
+    dqn.py:134-135).
+
+    With ``axis_name`` set (for use under ``shard_map``), gradients and the
+    loss are ``lax.pmean``-reduced over that mesh axis *before* the optimizer
+    update -- true synchronous data parallelism: every device applies the
+    gradient of the concatenated global minibatch (per-device minibatches of
+    equal size), so replicated params/opt-state stay bit-identical without
+    any post-hoc averaging.  ``abs_err`` stays local (it feeds the device's
+    own PER priorities).  The returned function is then *not* jitted.
     """
 
     def bellman_target(params, target_params, batch, key):
@@ -118,16 +131,19 @@ def make_learn_step(cfg: DQNConfig, spec: MLPSpec, optimizer, gamma: float):
             loss = jnp.mean(batch["weights"] * err**2)
         else:
             loss = jnp.mean(err**2)
-        return loss, jnp.abs(err)
+        return loss, (jnp.abs(err), q_target)
 
     def learn_step(params, target_params, opt_state, batch, do_soft_update, key):
         if cfg.noisy:
             key_eval, key_tgt = jax.random.split(key)
         else:
             key_eval = key_tgt = None
-        (loss, abs_err), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (abs_err, q_target)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, target_params, batch, key_eval, key_tgt
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if cfg.double:
@@ -135,9 +151,9 @@ def make_learn_step(cfg: DQNConfig, spec: MLPSpec, optimizer, gamma: float):
             target_params = jax.tree.map(
                 lambda t, l: tau * l + (1.0 - tau) * t, target_params, params
             )
-        return params, target_params, opt_state, loss, abs_err
+        return params, target_params, opt_state, loss, abs_err, q_target
 
-    return jax.jit(learn_step)
+    return learn_step if axis_name is not None else jax.jit(learn_step)
 
 
 class DQNAgent(Agent):
@@ -245,6 +261,10 @@ class DQNAgent(Agent):
         self.eps = self.eps_func(num_episode)
         loss = 0.0
 
+        # Reference's TensorBoard hook: eps once per episode (dqn.py:97-98).
+        if self.summary_writer is not None and episode_end:
+            self.summary_writer.add_scalar("debug/eps", self.eps, num_episode)
+
         self._store(
             state=np.asarray(state, np.float32),
             reward=float(reward),
@@ -254,7 +274,7 @@ class DQNAgent(Agent):
         )
 
         if len(self.history) > self.cfg.minibatch and self.training:
-            loss = self._learn()
+            loss = self._learn(num_episode, episode_end)
 
         if done:
             self._finish_episode()
@@ -292,7 +312,7 @@ class DQNAgent(Agent):
             head["done"] = True
             self.history.store(**head)
 
-    def _learn(self) -> float:
+    def _learn(self, num_episode: int = 0, episode_end: bool = False) -> float:
         idx, weights, raw = self.history.sample(self.cfg.minibatch)
         batch = {
             "state": jnp.asarray(np.stack(raw["state"])),
@@ -307,9 +327,17 @@ class DQNAgent(Agent):
             ),
         }
         do_soft = (self.step % self.cfg.retrain_interval) == 0
-        self.params, self.target_params, self.opt_state, loss, abs_err = self._learn_step(
+        (
+            self.params, self.target_params, self.opt_state, loss, abs_err, q_target,
+        ) = self._learn_step(
             self.params, self.target_params, self.opt_state, batch, do_soft, self.next_key()
         )
+        # Reference's TensorBoard hook: max Bellman target every 10th episode
+        # (dqn.py:134-135).
+        if self.summary_writer is not None and episode_end and num_episode % 10 == 0:
+            self.summary_writer.add_scalar(
+                "debug/bellman_target", float(jnp.max(q_target)), num_episode
+            )
         if self.cfg.per:
             self.history.batch_update(idx, np.asarray(abs_err))
         return float(loss)

@@ -11,11 +11,15 @@ Two levels are provided:
 * :func:`make_mesh` / :func:`game_sharding` / :func:`replicated` -- sharding
   handles for annotating the games axis of states/trajectories under plain
   ``jit`` (XLA inserts the collectives).
-* :func:`make_dp_reinforce_step` / :func:`make_dp_dqn_step` -- explicit
-  ``shard_map`` data-parallel training steps: each device plays its local
-  shard of games and the gradient ``pmean`` rides the interconnect.  On a
-  multi-host pod slice the same code spans hosts (``jax.distributed`` +
-  the global device mesh); on one host it spans local devices.
+* :func:`make_dp_reinforce_step` / :func:`make_dp_dqn_step` /
+  :func:`make_dp_acer_step` -- explicit ``shard_map`` data-parallel training
+  steps: each device plays its local shard of games, and every optimizer
+  update consumes ``lax.pmean``-reduced gradients riding the interconnect
+  (true synchronous DP -- the update equals a single-device step on the
+  concatenated global minibatch; replicated params/opt-state stay
+  bit-identical by construction).  On a multi-host pod slice the same code
+  spans hosts (``jax.distributed`` + the global device mesh); on one host it
+  spans local devices.
 """
 
 from __future__ import annotations
@@ -141,21 +145,6 @@ def stack_for_mesh(tree, mesh: Mesh):
 
 
 
-def _pmean_floats(tree, axis):
-    """pmean float leaves only: integer leaves (e.g. Adam's step count) pass
-    through unchanged -- pmean true-divides and would silently cast them to
-    f32, changing the pytree dtype signature (recompile every call) and
-    breaking exact integer step counts.  Identical-per-device integer state
-    stays identical without reduction."""
-    import jax.numpy as jnp
-
-    return jax.tree.map(
-        lambda x: jax.lax.pmean(x, axis)
-        if jnp.issubdtype(x.dtype, jnp.floating) or jnp.issubdtype(x.dtype, jnp.complexfloating)
-        else x,
-        tree,
-    )
-
 def make_dp_dqn_step(
     cfg: EnvConfig,
     dqn_cfg: DQNConfig,
@@ -167,17 +156,26 @@ def make_dp_dqn_step(
 ):
     """Data-parallel DQN self-play cycle over a device mesh.
 
-    Every device keeps its *own* replay buffer (create one local buffer and
-    lift it with :func:`stack_for_mesh`), plays its own games, and learns on
-    locally sampled minibatches; the updated models are pmean-averaged so
-    parameters stay replicated.  Signature: ``(params, target_params,
-    opt_state, stacked_buffer, keys, eps) -> (params, target_params,
-    opt_state, stacked_buffer, metrics)``.
+    True synchronous data parallelism: every device keeps its *own* replay
+    buffer (create one local buffer and lift it with :func:`stack_for_mesh`),
+    plays its own games, and samples its own minibatch, but every Bellman
+    update applies the ``lax.pmean`` of the per-device gradients -- i.e. the
+    gradient of the concatenated global minibatch.  Replicated
+    params/target/opt-state therefore stay bit-identical across devices with
+    no post-hoc averaging (see ``tests/test_dp_sync.py`` for the N-device ==
+    1-device-on-global-batch equivalence proof).  Signature: ``(params,
+    target_params, opt_state, stacked_buffer, keys, eps) -> (params,
+    target_params, opt_state, stacked_buffer, metrics)``.
+
+    Note: with ``noisy=True`` each device draws its own noisy-net noise, so
+    the synced gradient averages over ``mesh.size`` independent noise
+    samples rather than one global draw -- a variance reduction, not a
+    semantic change.
     """
     if axis is None:
         axis = mesh_axes(mesh) if len(mesh.axis_names) > 1 else mesh.axis_names[0]
     inner = make_dqn_selfplay_step(
-        cfg, dqn_cfg, optimizer, games_per_device, **dqn_kwargs
+        cfg, dqn_cfg, optimizer, games_per_device, axis_name=axis, **dqn_kwargs
     )
 
     def sharded(params, target_params, opt_state, buf, keys, eps):
@@ -186,15 +184,6 @@ def make_dp_dqn_step(
             params, target_params, opt_state, local_buf, keys[0], eps
         )
         buf = jax.tree.map(lambda x: x[None], local_buf)
-        # Average the (already locally averaged) gradfree metrics; gradients
-        # inside `inner` are local -- reduce the *parameter deltas* instead:
-        # simplest correct scheme: pmean the updated params so every device
-        # holds the same model (equivalent to averaging per-device updates).
-        params = _pmean_floats(params, axis)
-        if target_params is not None:
-            target_params = _pmean_floats(target_params, axis)
-        opt_state = _pmean_floats(opt_state, axis)
-        metrics = _pmean_floats(metrics, axis)
         return params, target_params, opt_state, buf, metrics
 
     mapped = shard_map(
@@ -220,8 +209,10 @@ def make_dp_acer_step(
 
     Mirrors :func:`make_dp_dqn_step`'s scheme for stateful learners: every
     device keeps its own sequence buffer (lift one with
-    :func:`stack_for_mesh`), plays and replays locally, and the updated
-    params/opt-state are pmean-averaged to stay replicated.  Signature:
+    :func:`stack_for_mesh`) and plays/replays locally, but both the on- and
+    off-policy updates apply ``lax.pmean``-reduced gradients -- true
+    synchronous DP over the concatenated global sequence batches; replicated
+    params/opt-state stay bit-identical by construction.  Signature:
     ``(params, opt_state, stacked_buf, keys) -> (params, opt_state,
     stacked_buf, metrics)``.
     """
@@ -230,7 +221,7 @@ def make_dp_acer_step(
     if axis is None:
         axis = mesh_axes(mesh) if len(mesh.axis_names) > 1 else mesh.axis_names[0]
     inner = make_acer_selfplay_step(
-        cfg, spec, optimizer, games_per_device, **acer_kwargs
+        cfg, spec, optimizer, games_per_device, axis_name=axis, **acer_kwargs
     )
 
     def sharded(params, opt_state, buf, keys):
@@ -239,9 +230,6 @@ def make_dp_acer_step(
             params, opt_state, local_buf, keys[0]
         )
         buf = jax.tree.map(lambda x: x[None], local_buf)
-        params = _pmean_floats(params, axis)
-        opt_state = _pmean_floats(opt_state, axis)
-        metrics = _pmean_floats(metrics, axis)
         return params, opt_state, buf, metrics
 
     mapped = shard_map(

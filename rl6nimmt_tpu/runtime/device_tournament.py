@@ -495,6 +495,9 @@ class DeviceBlockSession:
     def play(self) -> List[np.ndarray]:
         import time as _time
 
+        # Stale-read guard: if play() raises mid-block, timings must not
+        # silently retain a previous call's stamps.
+        self.timings = {}
         t0 = _time.perf_counter()
         G, P, H = len(self.lineups), self.cfg.num_players, self.cfg.hand_size
         B = self.bucket or max(1, 1 << (G - 1).bit_length())  # pow2 game bucket

@@ -398,6 +398,7 @@ def make_dqn_selfplay_step(
     gamma: float = 0.99,
     learn_iters: int = 10,
     reward_lag: bool = True,
+    axis_name: Optional[str] = None,
 ):
     """Fused DQN self-play cycle: rollout + buffer fill + Bellman updates.
 
@@ -409,6 +410,12 @@ def make_dqn_selfplay_step(
 
     Signature: ``(params, target_params, opt_state, buffer, key, eps)
     -> (params, target_params, opt_state, buffer, metrics)``.
+
+    With ``axis_name`` set (for use under ``shard_map``), every Bellman
+    update pmean-reduces its gradients over the mesh axis before applying
+    them -- synchronous data parallelism over the devices' concatenated
+    minibatches; rollouts, buffers, and PER priorities stay per-device.  The
+    returned function is then *not* jitted.
     """
     spec = q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions)
     deal_batch = jax.vmap(functools.partial(deal, cfg))
@@ -492,7 +499,7 @@ def make_dqn_selfplay_step(
     # ONE Bellman implementation: the host learner's fused step (same
     # double/dueling/noisy/PER math, soft-update gated on do_soft_update) --
     # duplicated copies had already drifted on the retrain_interval cadence.
-    learn_step = make_learn_step(dqn_cfg, spec, optimizer, gamma)
+    learn_step = make_learn_step(dqn_cfg, spec, optimizer, gamma, axis_name=axis_name)
 
     def learn_once(carry, xs):
         t, key = xs
@@ -509,7 +516,7 @@ def make_dqn_selfplay_step(
         # cycle call; pass a running step0 (or keep learn_iters a multiple of
         # retrain_interval, the default) for the exact host cadence.
         do_soft = (t % dqn_cfg.retrain_interval) == 0
-        params, target_params, opt_state, loss, abs_err = learn_step(
+        params, target_params, opt_state, loss, abs_err, _ = learn_step(
             params, target_params, opt_state, batch, do_soft, learn_key
         )
         if dqn_cfg.per:
@@ -529,13 +536,16 @@ def make_dqn_selfplay_step(
             (params, target_params, opt_state, buf),
             (step0 + jnp.arange(learn_iters), jax.random.split(learn_key, learn_iters)),
         )
+        mean_score = jnp.mean(scores.astype(jnp.float32))
+        if axis_name is not None:
+            mean_score = lax.pmean(mean_score, axis_name)
         metrics = {
-            "loss": jnp.mean(losses),
-            "mean_score": jnp.mean(scores.astype(jnp.float32)),
+            "loss": jnp.mean(losses),  # already pmean'd inside learn_step
+            "mean_score": mean_score,
         }
         return params, target_params, opt_state, buf, metrics
 
-    return jax.jit(cycle)
+    return cycle if axis_name is not None else jax.jit(cycle)
 
 
 # ------------------------------------------------------------ ACER self-play
@@ -617,6 +627,7 @@ def make_acer_selfplay_step(
     minibatch: int = 64,
     actor_weight: float = 1.0,
     critic_weight: float = 1.0,
+    axis_name: Optional[str] = None,
 ):
     """Fused ACER self-play cycle: rollout + sequence-buffer fill + updates.
 
@@ -630,13 +641,20 @@ def make_acer_selfplay_step(
     Signature: ``(params, opt_state, buf, key) -> (params, opt_state, buf,
     metrics)`` where ``buf`` comes from ``seq_init(capacity, max_turns,
     example)``.
+
+    With ``axis_name`` set (for use under ``shard_map``), both the on- and
+    off-policy updates pmean-reduce their gradients over the mesh axis
+    before applying them -- synchronous data parallelism over the devices'
+    concatenated sequence batches; rollouts and sequence buffers stay
+    per-device.  The returned function is then *not* jitted.
     """
     from ..agents.acer import make_acer_train_step
     from ..buffers.sequence import seq_sample, seq_store_batch
 
     rollout = make_acer_rollout(cfg, spec, num_games, r_factor)
     train = make_acer_train_step(
-        spec, optimizer, gamma, truncate, actor_weight, critic_weight
+        spec, optimizer, gamma, truncate, actor_weight, critic_weight,
+        axis_name=axis_name,
     )
 
     def cycle(params, opt_state, buf, key):
@@ -651,14 +669,17 @@ def make_acer_selfplay_step(
         _, batch, lengths = seq_sample(buf, sample_key, minibatch)
         batch = dict(batch, length=lengths)
         params, opt_state, off_losses = train(params, opt_state, batch)
+        mean_score = jnp.mean(scores.astype(jnp.float32))
+        if axis_name is not None:
+            mean_score = lax.pmean(mean_score, axis_name)
         metrics = {
             "actor_loss": on_losses[0],
             "correction_loss": on_losses[1],
             "critic_loss": on_losses[2],
             "off_actor_loss": off_losses[0],
             "off_critic_loss": off_losses[2],
-            "mean_score": jnp.mean(scores.astype(jnp.float32)),
+            "mean_score": mean_score,
         }
         return params, opt_state, buf, metrics
 
-    return jax.jit(cycle)
+    return cycle if axis_name is not None else jax.jit(cycle)

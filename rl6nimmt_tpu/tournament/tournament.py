@@ -1,7 +1,7 @@
 """Population tournament with ELO tracking and evolutionary clone-and-cull.
 
-Rebuilds the reference ``Tournament`` (/root/reference/rl_6_nimmt/
-tournament.py:12-262) with the same observable behavior:
+Provides the same observable behavior as the reference ``Tournament``
+(/root/reference/rl_6_nimmt/tournament.py:12-262):
 
 * games pick a uniform random player count in [min_players, max_players] and
   a uniform random subset of active agents (tournament.py:166-177);
@@ -14,17 +14,20 @@ tournament.py:12-262) with the same observable behavior:
   ``baseline_condition`` games (tournament.py:182-195);
 * the ASCII results table matches the reference format (tournament.py:208-238).
 
-Cloning is an in-memory pickle round trip of the agent (params + optimizer
-moments), replacing the reference's ``torch.save("temp_model.pt")`` disk
-bounce.
+The internal design differs deliberately: all per-agent state lives in one
+:class:`PlayerRecord` (the reference keeps 11 parallel dicts keyed by name);
+the legacy dict attributes (``elos``, ``played_games``, ...) remain available
+as live views for compatibility.  Cloning is an in-memory pickle round trip
+of the agent (params + optimizer moments), replacing the reference's
+``torch.save("temp_model.pt")`` disk bounce.
 """
 
 from __future__ import annotations
 
-import copy
 import logging
 import pickle
-from typing import Optional, Sequence
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -32,6 +35,105 @@ from ..runtime.session import GameSession
 from .elo import EloPlayer, calc_elo
 
 logger = logging.getLogger(__name__)
+
+# Midrank grouping half-width: scores closer than this tie (the reference's
+# searchsorted-eps trick, tournament.py:240-256).  Game scores are integers,
+# so 0.5 groups exact ties only; fractional baseline means inherit the same
+# fuzzy grouping the reference has.
+_TIE_EPS = 0.5
+
+
+@dataclass
+class PlayerRecord:
+    """Everything the tournament knows about one seat name."""
+
+    agent: Any
+    descendant: str
+    active: bool = True
+    played_games: int = 0
+    scores: List[float] = field(default_factory=list)
+    positions: List[float] = field(default_factory=list)
+    wins: List[float] = field(default_factory=list)
+    baseline_scores: List[float] = field(default_factory=list)
+    baseline_positions: List[float] = field(default_factory=list)
+    baseline_wins: List[float] = field(default_factory=list)
+    elos: List[float] = field(default_factory=list)
+
+    def record_game(self, score: float, position: float, won: bool, elo: float) -> None:
+        self.played_games += 1
+        self.scores.append(score)
+        self.positions.append(position)
+        self.wins.append(1.0 if won else 0.0)
+        self.elos.append(elo)
+
+    def ranking_key(self, metric: str) -> float:
+        """Sort key for :meth:`Tournament.evolve`; higher = keep/clone.
+
+        elo ranks by the latest rating; the history metrics rank by their
+        mean (reference tournament.py:79-104).  positions/wins are
+        higher-is-better too, but the reference sorts them ascending --
+        negate to preserve that quirk under one descending sort.
+        """
+        if metric == "elo":
+            return self.elos[-1] if self.elos else 0.0
+        series = {
+            "tournament_scores": self.scores,
+            "tournament_positions": self.positions,
+            "tournament_wins": self.wins,
+        }.get(metric)
+        if series is None:
+            raise NotImplementedError(metric)
+        value = float(np.mean(series)) if series else 0.0
+        return value if metric == "tournament_scores" else -value
+
+
+class _RecordView:
+    """Live read-through mapping ``name -> record.<attr>``.
+
+    Keeps the reference-shaped attribute surface (``tournament.elos[name]``
+    etc.) working on top of the record store; returned lists are the records'
+    own, so in-place mutation reaches the record.
+    """
+
+    def __init__(self, records: Dict[str, PlayerRecord], attr: str):
+        self._records = records
+        self._attr = attr
+
+    def __getitem__(self, name):
+        return getattr(self._records[name], self._attr)
+
+    def __contains__(self, name):
+        return name in self._records
+
+    def __iter__(self):
+        return iter(self._records)
+
+    def __len__(self):
+        return len(self._records)
+
+    def keys(self):
+        return self._records.keys()
+
+    def values(self):
+        return [getattr(r, self._attr) for r in self._records.values()]
+
+    def items(self):
+        return [(n, getattr(r, self._attr)) for n, r in self._records.items()]
+
+
+_VIEW_ATTRS = {
+    "agents": "agent",
+    "descendants": "descendant",
+    "active": "active",
+    "played_games": "played_games",
+    "tournament_scores": "scores",
+    "tournament_positions": "positions",
+    "tournament_wins": "wins",
+    "baseline_scores": "baseline_scores",
+    "baseline_positions": "baseline_positions",
+    "baseline_wins": "baseline_wins",
+    "elos": "elos",
+}
 
 
 class Tournament:
@@ -55,56 +157,60 @@ class Tournament:
         self.elo_k = elo_k
 
         self.total_games = 0
-        self.agents = {}
-        self.descendants = {}
-        self.active = {}
-        self.played_games = {}
-        self.tournament_scores = {}
-        self.tournament_positions = {}
-        self.tournament_wins = {}
-        self.baseline_scores = {}
-        self.baseline_positions = {}
-        self.baseline_wins = {}
-        self.elos = {}
+        self.players: Dict[str, PlayerRecord] = {}
+
+    def __getattr__(self, name):
+        # Legacy per-agent dict attributes as live views over the records.
+        attr = _VIEW_ATTRS.get(name)
+        if attr is None or "players" not in self.__dict__:
+            raise AttributeError(name)
+        return _RecordView(self.__dict__["players"], attr)
+
+    def __setstate__(self, state):
+        # Load both current pickles and pre-record ones (11 parallel dicts).
+        if "players" not in state and "agents" in state:
+            records = {}
+            for name, agent in state.pop("agents").items():
+                records[name] = PlayerRecord(
+                    agent=agent,
+                    descendant=state["descendants"][name],
+                    active=state["active"][name],
+                    played_games=state["played_games"][name],
+                    scores=state["tournament_scores"][name],
+                    positions=state["tournament_positions"][name],
+                    wins=state["tournament_wins"][name],
+                    baseline_scores=state["baseline_scores"][name],
+                    baseline_positions=state["baseline_positions"][name],
+                    baseline_wins=state["baseline_wins"][name],
+                    elos=state["elos"][name],
+                )
+            for legacy in _VIEW_ATTRS.values():
+                state.pop(legacy, None)
+            for legacy in list(_VIEW_ATTRS):
+                state.pop(legacy, None)
+            state["players"] = records
+        self.__dict__.update(state)
 
     # ------------------------------------------------------------ population
 
     def add_player(self, name: str, agent) -> None:
-        assert name not in self.agents
+        assert name not in self.players
         agent.__name__ = name
-        self.agents[name] = agent
-        self.descendants[name] = name
-        self.active[name] = True
-        self.played_games[name] = 0
-        self.tournament_scores[name] = []
-        self.tournament_positions[name] = []
-        self.tournament_wins[name] = []
-        self.baseline_scores[name] = []
-        self.baseline_positions[name] = []
-        self.baseline_wins[name] = []
-        self.elos[name] = [self.elo_initial]
+        self.players[name] = PlayerRecord(agent=agent, descendant=name)
+        self.players[name].elos.append(self.elo_initial)
 
     def copy_player(self, old_name: str, new_name: str) -> None:
-        for stats in (
-            self.active, self.elos, self.descendants, self.played_games,
-            self.tournament_scores, self.tournament_positions, self.tournament_wins,
-            self.baseline_scores, self.baseline_positions, self.baseline_wins,
-        ):
-            stats[new_name] = copy.deepcopy(stats[old_name])
-        clone = pickle.loads(pickle.dumps(self.agents[old_name]))
-        clone.__name__ = new_name
-        self.agents[new_name] = clone
+        # One pickle round trip clones agent AND stats (the reference
+        # deepcopies 10 dict entries and torch.save/loads the module).
+        clone = pickle.loads(pickle.dumps(self.players[old_name]))
+        clone.agent.__name__ = new_name
+        self.players[new_name] = clone
 
     def remove_player(self, name: str, full_delete: bool = False) -> None:
         if full_delete:
-            for stats in (
-                self.agents, self.active, self.descendants, self.played_games,
-                self.tournament_scores, self.tournament_positions, self.tournament_wins,
-                self.baseline_scores, self.baseline_positions, self.baseline_wins, self.elos,
-            ):
-                del stats[name]
+            del self.players[name]
         else:
-            self.active[name] = False
+            self.players[name].active = False
 
     def evolve(
         self,
@@ -113,28 +219,17 @@ class Tournament:
         max_per_descendant: Optional[int] = 2,
         metric: str = "elo",
     ) -> None:
-        if metric == "tournament_scores":
-            scores, reverse, mean = self.tournament_scores, True, True
-        elif metric == "tournament_positions":
-            scores, reverse, mean = self.tournament_positions, False, True
-        elif metric == "tournament_wins":
-            scores, reverse, mean = self.tournament_wins, False, True
-        elif metric == "elo":
-            scores, reverse, mean = self.elos, True, False
-        else:
-            raise NotImplementedError(metric)
-
-        if mean:
-            key = lambda n: (np.mean(scores[n]) if scores[n] else 0.0)
-        else:
-            key = lambda n: (scores[n][-1] if scores[n] else 0.0)
-        ranked = sorted(self.active_agents(), key=key, reverse=reverse)
+        ranked = sorted(
+            self.active_agents(),
+            key=lambda n: self.players[n].ranking_key(metric),
+            reverse=True,
+        )
 
         new_count = 0
-        new_descendants = {}
+        per_descendant: Dict[str, int] = {}
         for pos, name in enumerate(ranked):
-            desc = self.descendants[name]
-            new_descendants.setdefault(desc, 0)
+            desc = self.players[name].descendant
+            per_descendant.setdefault(desc, 0)
 
             if pos < len(copies):
                 n_copies = copies[pos]
@@ -142,7 +237,7 @@ class Tournament:
             elif max_players is not None and new_count >= max_players:
                 n_copies = 0
                 logger.info(f"Removing player {name}")
-            elif max_per_descendant is not None and new_descendants[desc] >= max_per_descendant:
+            elif max_per_descendant is not None and per_descendant[desc] >= max_per_descendant:
                 n_copies = 0
                 logger.info(f"Removing player {name}")
             else:
@@ -153,7 +248,7 @@ class Tournament:
             self.remove_player(name, full_delete=n_copies > 0)
 
             new_count += n_copies
-            new_descendants[desc] += n_copies
+            per_descendant[desc] += n_copies
 
     # ----------------------------------------------------------------- games
 
@@ -217,8 +312,8 @@ class Tournament:
         # which lineups the sampler draws; culled-but-retained agents keep
         # their slot alive so evolution never forces a recompile.
         slots = set()
-        for name in self.agents:
-            role = seat_slot(self.agents[name])
+        for record in self.players.values():
+            role = seat_slot(record.agent)
             if role is not None and role[0] == "learner":
                 slots.add(role[1])
         slots = tuple(sorted(slots, key=LearnerSlot.sort_key))
@@ -258,16 +353,13 @@ class Tournament:
 
         self.total_games += 1
         for name, score, rel_pos, elo in zip(agent_names, scores, relative_positions, new_elos):
-            self.played_games[name] += 1
-            self.tournament_scores[name].append(score)
-            self.tournament_positions[name].append(rel_pos)
-            self.tournament_wins[name].append(1.0 if winner == name else 0.0)
-            self.elos[name].append(elo)
-            if self.played_games[name] % self.baseline_condition == 0:
+            record = self.players[name]
+            record.record_game(score, rel_pos, winner == name, elo)
+            if record.played_games % self.baseline_condition == 0:
                 self.baseline_eval(name)
 
     def _compute_elos(self, agent_names, scores):
-        old = [self.elos[name][-1] for name in agent_names]
+        old = [self.players[name].elos[-1] for name in agent_names]
         places = self._compute_absolute_positions(np.asarray(scores))
         players = [EloPlayer(place=p, elo=e) for p, e in zip(places, old)]
         return calc_elo(players, self.elo_k)
@@ -282,54 +374,53 @@ class Tournament:
         names = self.active_agents()
         idx = np.random.choice(len(names), size=num_players, replace=False)
         chosen = [names[i] for i in idx]
-        return chosen, [self.agents[n] for n in chosen]
+        return chosen, [self.players[n].agent for n in chosen]
 
     def active_agents(self):
-        return [n for n in self.agents if self.active[n]]
+        return [n for n, r in self.players.items() if r.active]
 
     def baseline_eval(self, agent_name: str) -> None:
         if self.baseline_agents is None:
             return
-        session = GameSession(self.agents[agent_name], *self.baseline_agents)
+        record = self.players[agent_name]
+        session = GameSession(record.agent, *self.baseline_agents)
         for _ in range(self.baseline_num_games):
             session.play_game(render=False)
         scores = np.mean(np.asarray(session.results), axis=0)
         relative_positions = self._compute_relative_positions(scores)
-        self.baseline_scores[agent_name].append(scores[0])
-        self.baseline_positions[agent_name].append(relative_positions[0])
-        self.baseline_wins[agent_name].append(float(np.argmax(scores) == 0))
+        record.baseline_scores.append(scores[0])
+        record.baseline_positions.append(relative_positions[0])
+        record.baseline_wins.append(float(np.argmax(scores) == 0))
 
     def winner(self):
         best, who = -float("inf"), None
-        for name, agent in self.agents.items():
-            mean_pos = np.mean(self.tournament_positions[name]) if self.tournament_positions[name] else -float("inf")
+        for record in self.players.values():
+            mean_pos = np.mean(record.positions) if record.positions else -float("inf")
             if mean_pos > best:
-                best, who = mean_pos, agent
+                best, who = mean_pos, record.agent
         return who
 
     # ------------------------------------------------------------- reporting
 
     def __str__(self) -> str:
-        hline = "-----------------------------------------------------------------"
-        lines = [f"Tournament after {self.total_games} games:", hline]
-        lines.append(" Agent                | Games | Mean score | Win fraction |  ELO ")
-        lines.append(hline)
+        hline = "-" * 65
+        header = " Agent                | Games | Mean score | Win fraction |  ELO "
+        lines = [f"Tournament after {self.total_games} games:", hline, header, hline]
 
-        def row(name):
-            score = "-" if not self.tournament_scores[name] else f"{np.mean(self.tournament_scores[name]):>5.2f}"
-            wins = "-" if not self.tournament_wins[name] else f"{np.mean(self.tournament_wins[name]):>5.2f}"
+        def row(name: str, r: PlayerRecord) -> str:
+            score = f"{np.mean(r.scores):>5.2f}" if r.scores else "-"
+            wins = f"{np.mean(r.wins):>5.2f}" if r.wins else "-"
             return (
-                f" {name:>20s} | {self.played_games[name]:>5} | {score:>10} "
-                f"| {wins:>12} | {self.elos[name][-1]:>4.0f} "
+                f" {name:>20s} | {r.played_games:>5} | {score:>10} "
+                f"| {wins:>12} | {r.elos[-1]:>4.0f} "
             )
 
-        for name in self.agents:
-            if self.active[name]:
-                lines.append(row(name))
-        lines.append(hline)
-        for name in self.agents:
-            if not self.active[name]:
-                lines.append(row(name))
+        # Active roster first, then the culled, as in the reference table.
+        for want_active in (True, False):
+            block = [row(n, r) for n, r in self.players.items() if r.active == want_active]
+            if block:
+                lines += block
+                lines.append(hline)
         if lines[-1] != hline:
             lines.append(hline)
         return "\n".join(lines)
@@ -343,25 +434,22 @@ class Tournament:
 
     @staticmethod
     def _compute_absolute_positions(scores: np.ndarray) -> np.ndarray:
-        """0 = best ... n-1 = worst, ties midranked (tournament.py:240-247)."""
-        eps = 0.5
-        left = np.asarray(
-            [np.searchsorted(sorted(-scores), -s - eps) for s in scores], np.float32
-        )
-        right = 1.0 + np.asarray(
-            [np.searchsorted(sorted(-scores), -s + eps) for s in scores], np.float32
-        )
-        return 0.5 * (left + right)
+        """Midranked places for ELO, best-first (reference tournament.py:240-247).
+
+        Effectively 1-based with (l+r)/2 midranks; only the ordering feeds
+        ELO.  Each score's place is where it lands in the descending sort,
+        with scores within ``_TIE_EPS`` sharing the midrank of their group.
+        """
+        by_desc = np.sort(-scores)
+        lo = np.searchsorted(by_desc, -scores - _TIE_EPS)
+        hi = np.searchsorted(by_desc, -scores + _TIE_EPS)
+        return 0.5 * (lo + hi + 1.0)
 
     @staticmethod
     def _compute_relative_positions(scores: np.ndarray) -> np.ndarray:
-        """1 = best ... 0 = worst, ties midranked (tournament.py:249-256)."""
-        eps = 0.5
-        left = np.asarray(
-            [np.searchsorted(sorted(scores), s + eps) for s in scores], np.float32
-        )
-        right = 1.0 + np.asarray(
-            [np.searchsorted(sorted(scores), s - eps) for s in scores], np.float32
-        )
-        positions = 0.5 * (left + right)
-        return (positions - 1) / (len(scores) - 1)
+        """Midranked positions rescaled to [0, 1], 1 = best (tournament.py:249-256)."""
+        by_asc = np.sort(scores)
+        lo = np.searchsorted(by_asc, scores - _TIE_EPS)
+        hi = np.searchsorted(by_asc, scores + _TIE_EPS)
+        midrank = 0.5 * (lo + hi + 1.0)
+        return (midrank - 1) / (len(scores) - 1)

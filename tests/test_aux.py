@@ -87,10 +87,13 @@ def test_dqn_agent_with_metric_logger(tmp_path):
     agent.train()
     session = GameSession(agent, DrunkHamster(seed=3))
     session.play_game()
-    logger.add_scalar("debug/eps", agent.eps, 0)
     logger.close()
     assert os.path.exists(log_path)
+    # learn() writes the reference's TensorBoard scalars itself: debug/eps at
+    # every episode end (ref dqn.py:97-98) and debug/bellman_target on every
+    # 10th episode once the buffer is warm (ref dqn.py:134-135; game 0 here).
     assert logger.series["debug/eps"]
+    assert logger.series["debug/bellman_target"]
 
 
 def test_timer_and_timeit_and_gradstats():

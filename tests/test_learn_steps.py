@@ -40,7 +40,7 @@ def test_dqn_vanilla_loss_matches_numpy():
     batch = make_batch(rng, 8, 47)
 
     learn = make_learn_step(cfg, spec, optimizer, gamma=0.99)
-    _, _, _, loss, abs_err = learn(params, None, opt_state, batch, False, jax.random.key(1))
+    _, _, _, loss, abs_err, q_target = learn(params, None, opt_state, batch, False, jax.random.key(1))
 
     q = np.asarray(q_values(cfg, spec, params, batch["state"]))
     q_next = np.asarray(q_values(cfg, spec, params, batch["next_state"]))
@@ -50,6 +50,7 @@ def test_dqn_vanilla_loss_matches_numpy():
     expected_loss = np.mean((q_eval - target) ** 2)  # non-PER path: plain MSE
     np.testing.assert_allclose(float(loss), expected_loss, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(abs_err), expected_err, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(q_target), target, rtol=1e-4)
 
 
 def test_double_dqn_target_and_soft_update():
@@ -63,7 +64,7 @@ def test_double_dqn_target_and_soft_update():
     batch = make_batch(rng, 8, 47)
 
     learn = make_learn_step(cfg, spec, optimizer, gamma=0.9)
-    new_params, new_target, _, loss, abs_err = learn(
+    new_params, new_target, _, loss, abs_err, _ = learn(
         params, target_params, opt_state, batch, True, jax.random.key(4)
     )
 
@@ -95,7 +96,7 @@ def test_no_soft_update_when_flag_false():
     opt_state = optimizer.init(params)
     batch = make_batch(np.random.RandomState(2), 4, 47)
     learn = make_learn_step(cfg, spec, optimizer, gamma=0.99)
-    _, new_target, _, _, _ = learn(params, target_params, opt_state, batch, False, jax.random.key(6))
+    _, new_target, _, _, _, _ = learn(params, target_params, opt_state, batch, False, jax.random.key(6))
     for a, b in zip(jax.tree.leaves(new_target), jax.tree.leaves(target_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 

@@ -113,3 +113,81 @@ def test_winner_returns_best_positioned():
     t.tournament_positions["w"].append(1.0)
     t.tournament_positions["l"].append(0.0)
     assert t.winner() is t.agents["w"]
+
+
+def test_legacy_pickle_layout_migrates_to_records():
+    """Round-1 checkpoints stored 11 parallel dicts; __setstate__ rebuilds
+    the PlayerRecord store from them."""
+    legacy_state = {
+        "min_players": 2, "max_players": 4,
+        "baseline_agents": None, "baseline_num_games": 1,
+        "baseline_condition": 10, "elo_initial": 1600, "elo_k": 32,
+        "total_games": 3,
+        "agents": {"a": DrunkHamster(seed=0), "b": DrunkHamster(seed=1)},
+        "descendants": {"a": "a", "b": "b"},
+        "active": {"a": True, "b": False},
+        "played_games": {"a": 3, "b": 3},
+        "tournament_scores": {"a": [-5, -7, -2], "b": [-9, -1, -4]},
+        "tournament_positions": {"a": [1.0, 0.0, 1.0], "b": [0.0, 1.0, 0.0]},
+        "tournament_wins": {"a": [1.0, 0.0, 1.0], "b": [0.0, 1.0, 0.0]},
+        "baseline_scores": {"a": [], "b": []},
+        "baseline_positions": {"a": [], "b": []},
+        "baseline_wins": {"a": [], "b": []},
+        "elos": {"a": [1600, 1610, 1605, 1615], "b": [1600, 1590, 1595, 1585]},
+    }
+    t = Tournament.__new__(Tournament)
+    t.__setstate__(legacy_state)
+    assert set(t.players) == {"a", "b"}
+    assert t.total_games == 3
+    assert t.active_agents() == ["a"]
+    assert t.players["b"].active is False
+    assert t.elos["a"][-1] == 1615  # legacy view still works
+    assert t.players["a"].scores == [-5, -7, -2]
+    # And the migrated object round-trips through pickle as records.
+    import pickle
+
+    t2 = pickle.loads(pickle.dumps(t))
+    assert t2.players["a"].elos == t.players["a"].elos
+
+
+def test_choose_players_clamps_to_roster_size():
+    """Documented deviation (PARITY.md #6): with a roster smaller than
+    max_players the player count is sampled uniformly from
+    [min_players, len(roster)] instead of asserting like the reference
+    (tournament.py:170).  Pin the resulting distribution."""
+    t = Tournament(min_players=2, max_players=4)
+    for i in range(3):
+        t.add_player(f"p{i}", DrunkHamster(seed=i))
+    np.random.seed(123)
+    counts = {2: 0, 3: 0, 4: 0}
+    for _ in range(300):
+        names, _ = t._choose_players(None)
+        counts[len(names)] += 1
+    assert counts[4] == 0          # never exceeds the roster
+    assert counts[2] > 100 and counts[3] > 100  # ~uniform over {2, 3}
+
+
+def test_evolve_metric_orderings_match_reference():
+    """positions/wins rank ascending (reference tournament.py:79-104 sorts
+    them with reverse=False); scores and elo rank descending."""
+    t = Tournament()
+    for i in range(3):
+        t.add_player(f"m{i}", DrunkHamster(seed=i))
+    t.players["m0"].wins.extend([1.0, 1.0])
+    t.players["m1"].wins.extend([0.0, 0.0])
+    t.players["m2"].wins.extend([1.0, 0.0])
+    ranked = sorted(
+        t.active_agents(),
+        key=lambda n: t.players[n].ranking_key("tournament_wins"),
+        reverse=True,
+    )
+    assert ranked == ["m1", "m2", "m0"]  # ascending mean wins
+    t.players["m0"].scores.extend([-10.0])
+    t.players["m1"].scores.extend([-2.0])
+    t.players["m2"].scores.extend([-5.0])
+    ranked = sorted(
+        t.active_agents(),
+        key=lambda n: t.players[n].ranking_key("tournament_scores"),
+        reverse=True,
+    )
+    assert ranked == ["m1", "m2", "m0"]  # descending mean score
