@@ -28,9 +28,49 @@ NUM_PLAYERS = 4
 TARGET_STEPS_PER_SEC = 10_000_000.0  # BASELINE.json north-star target
 
 
+def verify_kernel_exactness(cfg):
+    """Per-round bit-exactness guard behind the headline number.
+
+    The fused bench path rides the Pallas turn-resolution kernel; before
+    timing anything, one turn of TILE games is resolved by BOTH the kernel
+    and the XLA engine step and compared bit-for-bit (the full gated suite is
+    ``RL6_TEST_TPU=1 pytest tests/test_step_kernel.py tests/test_game_kernel.py``).
+    Raises on any mismatch, so a silently-wrong kernel can never post a
+    bench number.
+    """
+    import functools
+
+    import numpy as np
+
+    from rl6nimmt_tpu.engine import deal, step
+    from rl6nimmt_tpu.ops.step_kernel import TILE, make_turn_resolver
+
+    G = TILE
+    deal_b = jax.vmap(functools.partial(deal, cfg))
+    step_b = jax.jit(jax.vmap(functools.partial(step, cfg)))
+    resolver = make_turn_resolver(cfg, G)
+
+    state = deal_b(jax.random.split(jax.random.key(2026), G))
+    rng = np.random.RandomState(6)
+    for turn in range(3):
+        hs = np.asarray(state.hands_sorted)
+        counts = (hs >= 0).sum(axis=2)
+        picks = (rng.random(counts.shape) * counts).astype(np.int64)
+        actions = jax.numpy.asarray(
+            np.take_along_axis(hs, picks[..., None], axis=2)[..., 0], jax.numpy.int32
+        )
+        k_board, k_len, k_rewards = resolver(state.board, state.row_len, actions)
+        state, e_rewards = step_b(state, actions)
+        np.testing.assert_array_equal(np.asarray(k_board), np.asarray(state.board))
+        np.testing.assert_array_equal(np.asarray(k_len), np.asarray(state.row_len))
+        np.testing.assert_array_equal(np.asarray(k_rewards), np.asarray(e_rewards))
+
+
 def main():
     cfg = EnvConfig(num_players=NUM_PLAYERS)
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if on_tpu:
+        verify_kernel_exactness(cfg)
     # On real TPUs: the fully-fused self-dealing game kernel (deal + 10 turns
     # + observation checksums per generation in one Pallas call).  Enough
     # generations per dispatch that the host fetch round trip (~26 ms over

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..buffers.host import HostHistory
+from ..buffers.host import HostSequentialHistory
 from ..nets import MLPSpec, mlp_init
 from .base import Agent, pad_cards
 
@@ -125,12 +125,14 @@ class BatchedActionValueActorCriticAgent(Agent):
         return pad_cards(legal_actions, self.max_num_actions)
 
     def forward(self, state, legal_actions, **kwargs):
-        state = jnp.asarray(state, jnp.float32)
+        # Host path: plain numpy inputs; placement follows the CPU-committed
+        # params (no per-decision staging onto a remote default device).
+        state = np.asarray(state, np.float32)
         padded = self._pad_cards(legal_actions)
-        log_probs, qs = self._heads_fn(self.params, state, jnp.asarray(padded))
+        log_probs, qs = self._heads_fn(self.params, state, padded)
         # Sample over legal slots only (the reference samples from the padded
         # clamped-exp distribution and retries pad picks, a-c.py:98-106).
-        logits = jnp.where(jnp.asarray(padded) >= 0, log_probs, -jnp.inf)
+        logits = jnp.where(padded >= 0, log_probs, -jnp.inf)
         action_id = int(jax.random.categorical(self.next_key(), logits))
         info = {
             "action_id": action_id,
@@ -147,8 +149,8 @@ class BatchedActionValueActorCriticAgent(Agent):
         API parity with the reference ``evaluate`` (actor_critic.py:59-72),
         vectorized instead of a Python loop over games.
         """
-        states = jnp.asarray(np.stack([np.asarray(s, np.float32) for s in states]))
-        cards = jnp.asarray(np.stack([self._pad_cards(la) for la in legal_actions_list]))
+        states = np.stack([np.asarray(s, np.float32) for s in states])
+        cards = np.stack([self._pad_cards(la) for la in legal_actions_list])
         log_probs, qs = jax.vmap(
             lambda s, c: actor_critic_heads(self.spec, self.params, s, c)
         )(states, cards)
@@ -182,8 +184,7 @@ class BatchedACERAgent(BatchedActionValueActorCriticAgent):
         self.actor_weight = actor_weight
         self.critic_weight = critic_weight
 
-        self.history = HostHistory(max_length=self.history_length)
-        self._current_seq = []
+        self.history = HostSequentialHistory(max_length=self.history_length)
         self._train_step = None
 
     def train(self, mode: bool = True) -> None:
@@ -197,46 +198,57 @@ class BatchedACERAgent(BatchedActionValueActorCriticAgent):
         self, state, reward, action, done, next_state, next_reward, episode_end, num_episode,
         legal_actions=None, **kwargs,
     ):
-        self._current_seq.append(
-            {
-                "state": np.asarray(state, np.float32),
-                "legal_cards": self._pad_cards(legal_actions),
-                "log_probs": np.asarray(kwargs["log_probs"], np.float32),
-                "action_id": np.int32(kwargs["action_id"]),
-                "reward": np.float32(next_reward * self.r_factor),
-                "done": np.float32(done),
-            }
+        # Per-step store into the SequentialHistory twin (reference cadence,
+        # actor_critic.py:136-150): flush each rollout_len steps or at
+        # done/episode_end; past warmup run one on- + one off-policy update.
+        self.history.store(
+            state=np.asarray(state, np.float32),
+            legal_cards=self._pad_cards(legal_actions),
+            log_probs=np.asarray(kwargs["log_probs"], np.float32),
+            action_id=np.int32(kwargs["action_id"]),
+            reward=np.float32(next_reward * self.r_factor),
+            done=np.float32(done),
         )
         losses = None
-        if len(self._current_seq) >= self.rollout_len or done or episode_end:
-            self._flush()
+        if self.history.current_sequence_length() >= self.rollout_len or done or episode_end:
+            self.history.flush()
             if len(self.history) > max(self.warmup, self.batchsize) and self.training:
                 on = self._train(on_policy=True)
                 off = self._train(on_policy=False)
                 losses = (on, off)
         return losses
 
-    def _flush(self) -> None:
+    def _padded_batch(self, raw):
+        """Sequence records (lists of per-step values) -> fixed [B, T] batch.
+
+        The jitted train step wants static shapes; sequences shorter than
+        ``rollout_len`` (episode-end flushes) zero-pad with their true
+        ``length`` carried alongside (the mask the loss uses).
+        """
         T = self.rollout_len
-        seq = {
-            k: np.stack([rec[k] for rec in self._current_seq])
-            for k in self._current_seq[0]
-        }
-        length = len(self._current_seq)
-        # Pad every field to the fixed rollout length.
-        pad = T - length
-        if pad:
-            seq = {k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)]) for k, v in seq.items()}
-        seq["length"] = np.int32(length)
-        self.history.store(**seq)
-        self._current_seq = []
+        fields = ("state", "legal_cards", "log_probs", "action_id", "reward", "done")
+        stacked = {k: [] for k in fields}
+        lengths = []
+        for b in range(len(raw["state"])):
+            length = len(raw["state"][b])
+            lengths.append(length)
+            for k in fields:
+                v = np.stack([np.asarray(x) for x in raw[k][b]])
+                if length < T:
+                    v = np.concatenate(
+                        [v, np.zeros((T - length,) + v.shape[1:], v.dtype)]
+                    )
+                stacked[k].append(v)
+        batch = {k: np.stack(v) for k, v in stacked.items()}
+        batch["length"] = np.asarray(lengths, np.int32)
+        return batch
 
     def _train(self, on_policy: bool):
         if on_policy:
             raw = self.history.rollout(n=1)
         else:
             _, _, raw = self.history.sample(self.batchsize)
-        batch = {k: jnp.asarray(np.stack(v)) for k, v in raw.items()}
+        batch = self._padded_batch(raw)
         self.params, self.opt_state, losses = self._train_step(self.params, self.opt_state, batch)
         return tuple(float(x) for x in losses)
 

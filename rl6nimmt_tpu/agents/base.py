@@ -98,6 +98,7 @@ class Agent:
         "_learn_step",
         "_q_fn",
         "_heads_fn",
+        "_logits_fn",
         "_root_fn",
         "_pv_fn",
         "_host_device",

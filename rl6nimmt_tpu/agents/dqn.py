@@ -227,9 +227,13 @@ class DQNAgent(Agent):
     # ------------------------------------------------------------------ act
 
     def forward(self, state, legal_actions=None, **kwargs):
+        # NOTE host path: pass plain numpy into the jitted fn.  Params are
+        # CPU-committed, so placement follows them; an eager jnp.asarray here
+        # would stage the input onto the default (possibly remote) device and
+        # cost a tunnel round trip per decision.
         state = np.asarray(state, np.float32)
         key = self.next_key() if self.cfg.noisy else None
-        scores = np.array(self._q_fn(self.params, jnp.asarray(state)[None], key)[0])
+        scores = np.array(self._q_fn(self.params, state[None], key)[0])
 
         if self.cfg.noisy:
             # Pure argmax over the legal subset (reference dqn.py:251-261).
@@ -314,13 +318,15 @@ class DQNAgent(Agent):
 
     def _learn(self, num_episode: int = 0, episode_end: bool = False) -> float:
         idx, weights, raw = self.history.sample(self.cfg.minibatch)
+        # numpy minibatch: placement follows the CPU-committed params (see
+        # forward's host-path note).
         batch = {
-            "state": jnp.asarray(np.stack(raw["state"])),
-            "action": jnp.asarray(np.asarray(raw["action"], np.int32)),
-            "reward": jnp.asarray(np.asarray(raw["reward"], np.float32)),
-            "next_state": jnp.asarray(np.stack(raw["next_state"])),
-            "done": jnp.asarray(np.asarray(raw["done"], np.float32)),
-            "weights": jnp.asarray(
+            "state": np.stack(raw["state"]),
+            "action": np.asarray(raw["action"], np.int32),
+            "reward": np.asarray(raw["reward"], np.float32),
+            "next_state": np.stack(raw["next_state"]),
+            "done": np.asarray(raw["done"], np.float32),
+            "weights": (
                 np.asarray(weights, np.float32)
                 if weights is not None
                 else np.ones(self.cfg.minibatch, np.float32)

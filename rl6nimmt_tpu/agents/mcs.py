@@ -468,7 +468,7 @@ class PolicyMCSAgent(BaseMCAgent):
     def _root_log_probs(self, state, legal_actions):
         padded = pad_cards(legal_actions, self.handsize)
         logp = np.asarray(
-            self._root_fn(self.params, jnp.asarray(state, jnp.float32), jnp.asarray(padded))
+            self._root_fn(self.params, np.asarray(state, np.float32), padded)
         )
         return {a: float(logp[i]) for i, a in enumerate(legal_actions)}
 
@@ -491,7 +491,7 @@ class PolicyMCSAgent(BaseMCAgent):
                 self._episode = []  # eval mode: never accumulate across games
             return 0.0
         batch = {
-            k: jnp.asarray(np.stack([rec[k] for rec in self._episode]))
+            k: np.stack([rec[k] for rec in self._episode])
             for k in self._episode[0]
         }
         self.params, self.opt_state, loss = self._train_step(self.params, self.opt_state, batch)
@@ -612,7 +612,7 @@ class PUCTCustomedAgent(PUCTAgent):
     def _nn_choice(self, state, legal_actions):
         padded = pad_cards(legal_actions, self.handsize)
         logp, values = self._pv_fn(
-            self.params, jnp.asarray(state, jnp.float32), jnp.asarray(padded)
+            self.params, np.asarray(state, np.float32), padded
         )
         values = np.asarray(values)[: len(legal_actions)]
         idx = int(np.argmax(values))
@@ -633,7 +633,7 @@ class PUCTCustomedAgent(PUCTAgent):
                 self._episode = []  # eval mode: never accumulate across games
             return 0.0
         batch = {
-            k: jnp.asarray(np.stack([rec[k] for rec in self._episode]))
+            k: np.stack([rec[k] for rec in self._episode])
             for k in self._episode[0]
         }
         self.params, self.opt_state, loss = self._train_step(self.params, self.opt_state, batch)

@@ -146,11 +146,19 @@ class _ReinforceBase(Agent):
         self.params = self.host_put(mlp_init(self.next_key(), self.spec))
         self._episode = []
         self._train_step = None
+        self._rebuild_jit()
 
     # -- subclass hooks
 
     def _build_spec(self, hidden_sizes) -> MLPSpec:
         raise NotImplementedError
+
+    _logits_single = None  # subclass: (spec, params, state, aux) -> logits
+
+    def _rebuild_jit(self) -> None:
+        spec, fn = self.spec, type(self)._logits_single
+        if fn is not None:
+            self._logits_fn = jax.jit(lambda params, s, aux: fn(spec, params, s, aux))
 
     def _make_train_step(self):
         raise NotImplementedError
@@ -181,8 +189,9 @@ class _ReinforceBase(Agent):
                 self._episode = []  # eval mode: never accumulate across games
             return np.zeros(3)
 
+        # numpy batch: placement follows the CPU-committed params.
         batch = {
-            k: jnp.asarray(np.stack([rec[k] for rec in self._episode]))
+            k: np.stack([rec[k] for rec in self._episode])
             for k in self._episode[0]
         }
         self.params, self.opt_state, actor_loss, entropy_loss = self._train_step(
@@ -200,11 +209,13 @@ class MaskedReinforceAgent(_ReinforceBase):
             input_size=self.state_length, hidden_sizes=hidden_sizes, head_sizes=(self.num_actions,)
         )
 
+    _logits_single = staticmethod(masked_policy_logits)
+
     def forward(self, state, legal_actions, **kwargs):
-        state = jnp.asarray(state, jnp.float32)
+        state = np.asarray(state, np.float32)
         mask = np.zeros(self.num_actions, dtype=bool)
         mask[legal_actions] = True
-        logits = masked_policy_logits(self.spec, self.params, state, jnp.asarray(mask))
+        logits = self._logits_fn(self.params, state, mask)
         action = int(jax.random.categorical(self.next_key(), logits))
         logp, entropy = log_probs_and_entropy(logits)
         info = {
@@ -246,11 +257,13 @@ class BatchedReinforceAgent(_ReinforceBase):
             input_size=self.state_length + 1, hidden_sizes=hidden_sizes, head_sizes=(1,)
         )
 
+    _logits_single = staticmethod(action_in_input_logits)
+
     def forward(self, state, legal_actions, **kwargs):
-        state = jnp.asarray(state, jnp.float32)
+        state = np.asarray(state, np.float32)
         H = self.env_config.hand_size
         padded = pad_cards(legal_actions, H)
-        logits = action_in_input_logits(self.spec, self.params, state, jnp.asarray(padded))
+        logits = self._logits_fn(self.params, state, padded)
         idx = int(jax.random.categorical(self.next_key(), logits))
         logp, entropy = log_probs_and_entropy(logits)
         action = int(legal_actions[idx])

@@ -66,6 +66,45 @@ class HostHistory:
         return {k: [r[k] for r in records] for k in records[0]}
 
 
+class HostSequentialHistory(HostHistory):
+    """Sequence ring buffer: twin of the reference ``SequentialHistory``
+    (replay_buffer.py:274-302).
+
+    ``store`` accumulates steps into a current-sequence dict-of-lists and
+    injects the per-step ``first`` flag (True exactly on each sequence's
+    first step); ``flush`` pushes the whole sequence as ONE record into the
+    ring.  The record layout matches the reference's: each record field is
+    the list of per-step values, plus ``record["first"] = [True, False, ...]``.
+    Uniform ``sample``/``rollout`` then return dict-of-lists-of-sequences,
+    the same nesting the reference's ``iter_flatten`` unpacking consumes.
+    """
+
+    def __init__(self, max_length: Optional[int] = None):
+        super().__init__(max_length)
+        self.current_sequence: dict = {}
+
+    def current_sequence_length(self) -> int:
+        if not self.current_sequence:
+            return 0
+        return len(next(iter(self.current_sequence.values())))
+
+    def store(self, **kwargs) -> None:
+        if self.current_sequence_length() == 0:
+            for key, val in kwargs.items():
+                self.current_sequence[key] = [val]
+            self.current_sequence["first"] = [True]
+        else:
+            for key, val in kwargs.items():
+                self.current_sequence[key].append(val)
+            self.current_sequence["first"].append(False)
+
+    def flush(self) -> None:
+        """Push the current sequence to long-term memory as one record."""
+        assert self.current_sequence_length() > 0
+        super().store(**self.current_sequence)
+        self.current_sequence = {}
+
+
 class HostPriorityBuffer:
     """Prioritized replay with stratified prefix-sum sampling (host path)."""
 

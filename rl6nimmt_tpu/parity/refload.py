@@ -1,0 +1,88 @@
+"""Load the actual reference package (``/root/reference/rl_6_nimmt``) for
+side-by-side parity runs.
+
+The reference imports two packages this environment does not ship: ``gym``
+(only for the ``Env`` base class and two space constructors, env.py:34-38)
+and ``numba`` (JIT decoration of three pure-Python sum-tree kernels,
+replay_buffer.py:15-60), plus ``multi_elo`` (tournament ELO).  None affect
+the math this loader is used to compare: the stubs below provide the ``Env``
+base, spaces carrying ``n``/``shape``, a passthrough ``numba.jit``, and the
+vendored ``multi_elo`` transcription.  Everything else (torch, numpy,
+matplotlib) is real.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.exists(os.path.join(REFERENCE_ROOT, "rl_6_nimmt", "env.py"))
+
+
+def install_stubs() -> None:
+    if "gym" not in sys.modules:
+        gym = types.ModuleType("gym")
+
+        class Env:
+            pass
+
+        class Discrete:
+            def __init__(self, n):
+                self.n = n
+
+        class Box:
+            def __init__(self, low, high, shape=None, **kwargs):
+                self.shape = shape
+
+        spaces = types.ModuleType("gym.spaces")
+        spaces.Discrete = Discrete
+        spaces.Box = Box
+        gym.Env = Env
+        gym.spaces = spaces
+        sys.modules["gym"] = gym
+        sys.modules["gym.spaces"] = spaces
+
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+
+        def jit(*args, **kwargs):
+            if args and callable(args[0]):
+                return args[0]
+            return lambda f: f
+
+        numba.jit = jit
+        sys.modules["numba"] = numba
+
+    if "multi_elo" not in sys.modules:
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "..", "tests", "vendor",
+            "multi_elo_reference.py",
+        )
+        if os.path.exists(path):
+            spec = importlib.util.spec_from_file_location("multi_elo", path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            sys.modules["multi_elo"] = mod
+        else:  # minimal placeholder; tournament math unused in agent parity
+            mod = types.ModuleType("multi_elo")
+            mod.EloPlayer = lambda place, elo: (place, elo)
+            mod.calc_elo = lambda players, k: [e for _, e in players]
+            sys.modules["multi_elo"] = mod
+
+
+def load_reference():
+    """Import and return the real ``rl_6_nimmt`` package."""
+    if not reference_available():
+        raise RuntimeError(f"reference checkout not mounted at {REFERENCE_ROOT}")
+    install_stubs()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import rl_6_nimmt
+
+    return rl_6_nimmt

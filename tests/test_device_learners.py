@@ -169,10 +169,14 @@ def test_device_session_fills_learner_buffers_and_trains():
     _, _, raw = dqn.history.sample(20)
     assert all(0 <= a <= 103 for a in raw["action"])
     # ACER: one 10-step sequence per game with the captured behavior policy.
+    # Records use the SequentialHistory twin layout: per-step value lists
+    # plus the injected first flags (replay_buffer.py:274-302).
     assert len(acer.history) == 2
     seq = acer.history.rollout(n=1)
-    assert seq["log_probs"][0].shape == (10, 10)
-    lp0 = seq["log_probs"][0][0]
+    log_probs = np.stack(seq["log_probs"][0])
+    assert log_probs.shape == (10, 10)
+    assert seq["first"][0] == [True] + [False] * 9
+    lp0 = log_probs[0]
     aid0 = int(seq["action_id"][0][0])
     assert np.isfinite(lp0[aid0]) and lp0[aid0] >= -20.0
     # REINFORCE trained at both episode ends: parameters moved.
