@@ -35,7 +35,23 @@ from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
 from ..nets import MLPSpec
 
-_PLAYOUT_POLICY = {"random": None, "uniform": "uniform", "policy": "net", "puct": "net"}
+_PLAYOUT_POLICY = {
+    "random": None,
+    "uniform": "uniform",
+    "policy": "net",
+    "puct": "net",
+    # Decoupled Alpha0.5: the net drives the ROOT prior only; determinized
+    # playouts stay uniform.  Separates the prior's root-exploration value
+    # from its playout-policy bias (the round-1 diagnosis of why trained
+    # priors lose strength -- see experiments/prior_decoupled_eval.py).
+    "puct_uniform": "uniform",
+}
+_ROOT = {
+    "uniform": "uniform",
+    "policy": "policy",
+    "puct": "puct",
+    "puct_uniform": "puct",
+}
 
 
 @functools.lru_cache(maxsize=None)
@@ -62,9 +78,10 @@ def make_device_match_fn(
 
     deciders = {}
     for kind in set(roster) - {"random"}:
+        needs_net = _ROOT[kind] in ("policy", "puct") or _PLAYOUT_POLICY[kind] == "net"
         deciders[kind] = _make_decide(
-            cfg, _PLAYOUT_POLICY[kind], spec if kind != "uniform" else None,
-            kind, mc_max, batch, c_puct,
+            cfg, _PLAYOUT_POLICY[kind], spec if needs_net else None,
+            _ROOT[kind], mc_max, batch, c_puct,
         )
 
     def board_seen(state):

@@ -31,3 +31,19 @@ def test_device_match_puct_roster_runs():
     # Different keys -> different matches.
     scores2 = np.asarray(fn((params, None, None), jax.random.key(3)))
     assert not np.array_equal(scores, scores2)
+
+
+def test_device_match_puct_uniform_decoupled_roster():
+    """puct_uniform = PUCT root prior from the net, uniform playout policy
+    (the decoupled-prior kind behind experiments/prior_decoupled_eval.py)."""
+    cfg = EnvConfig(num_players=2)
+    spec = MLPSpec(input_size=cfg.state_length + 1, head_sizes=(1,))
+    params = mlp_init(jax.random.key(4), spec)
+    fn = make_device_match_fn(
+        cfg, ("puct_uniform", "random"), spec, num_games=8, mc_max=12, batch=4
+    )
+    scores = np.asarray(fn((params, None), jax.random.key(5)))
+    assert scores.shape == (8, 2)
+    assert np.isfinite(scores).all() and (scores <= 0).all()
+    # A searching seat still dominates a random one.
+    assert (scores[:, 0] >= scores[:, 1]).mean() > 0.6
