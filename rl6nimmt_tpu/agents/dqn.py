@@ -358,6 +358,10 @@ def _variant(name: str, **flags) -> type:
 
 DQNVanilla = _variant("DQNVanilla")
 Noisy_DQN = _variant("Noisy_DQN", noisy=True)
+# NOTE: the "NStep" classes default to n_steps=1 EXACTLY like the reference
+# (ref dqn.py:45); they are only n-step when constructed with n_steps=N (the
+# notebook's flagship uses n_steps=10, simple_tournament cell 3).  Pinned by
+# tests/test_buffers.py::test_nstep_named_classes_default_to_vanilla_like_reference.
 DQN_NStep_Agent = _variant("DQN_NStep_Agent")          # n_steps set via kwarg
 DDQNAgent = _variant("DDQNAgent", double=True)
 DQN_PRBAgent = _variant("DQN_PRBAgent", per=True)
