@@ -54,11 +54,11 @@ def time_cycles(fn, args_fn, iters=8, warmup=2):
     return sorted(times)[len(times) // 2]
 
 
-def bench_reinforce(cfg, G, key, chain=1):
+def bench_reinforce(cfg, G, key, chain=1, dtype="float32"):
     from rl6nimmt_tpu.runtime.vector import make_reinforce_train_step
 
     spec = MLPSpec(input_size=cfg.state_length + 1, hidden_sizes=(100, 100),
-                   head_sizes=(1,))
+                   head_sizes=(1,), compute_dtype=dtype)
     params = mlp_init(jax.random.key(0), spec)
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
@@ -86,12 +86,17 @@ def bench_reinforce(cfg, G, key, chain=1):
     return time_cycles(fn, args)
 
 
-def bench_dqn(cfg, G, key, per=True, chain=1):
+def bench_dqn(cfg, G, key, per=True, chain=1, dtype="float32"):
+    import dataclasses
+
     from rl6nimmt_tpu.runtime.vector import make_dqn_selfplay_step
 
     dqn_cfg = DQNConfig(double=True, dueling=True, noisy=True, per=per,
                         n_steps=10, hidden_sizes=(64,), minibatch=64)
-    spec = q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions)
+    spec = dataclasses.replace(
+        q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions),
+        compute_dtype=dtype,
+    )
     params = mlp_init(jax.random.key(1), spec)
     target = jax.tree.map(jnp.copy, params)
     optimizer = optax.adam(1e-3)
@@ -127,11 +132,11 @@ def bench_dqn(cfg, G, key, per=True, chain=1):
     return time_cycles(fn, args)
 
 
-def bench_acer(cfg, G, key, chain=1):
+def bench_acer(cfg, G, key, chain=1, dtype="float32"):
     from rl6nimmt_tpu.runtime.vector import make_acer_selfplay_step
 
     spec = MLPSpec(input_size=1 + cfg.state_length, hidden_sizes=(100, 100),
-                   head_sizes=(1, 1))
+                   head_sizes=(1, 1), compute_dtype=dtype)
     params = mlp_init(jax.random.key(2), spec)
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
@@ -173,6 +178,10 @@ def main():
     parser.add_argument("--learners", default="reinforce,dqn,acer")
     parser.add_argument("--chain", type=int, default=1,
                         help="cycles fused per dispatch (amortizes tunnel latency)")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="policy matmul compute dtype (bfloat16 feeds the "
+                             "MXU at full rate; f32 params/accumulation)")
     args = parser.parse_args()
 
     cfg = EnvConfig(num_players=4)
@@ -182,10 +191,11 @@ def main():
 
     benches = {"reinforce": bench_reinforce, "dqn": bench_dqn, "acer": bench_acer}
     for name in args.learners.split(","):
-        sec = benches[name](cfg, G, key, chain=args.chain)
+        sec = benches[name](cfg, G, key, chain=args.chain, dtype=args.dtype)
         print(json.dumps({
             "metric": f"trainable env-steps/s @ {G} games ({name} selfplay+update cycle"
-                      + (f", {args.chain} chained" if args.chain > 1 else "") + ")",
+                      + (f", {args.chain} chained" if args.chain > 1 else "")
+                      + (", bf16" if args.dtype == "bfloat16" else "") + ")",
             "value": round(steps_per_call / sec, 1),
             "unit": "steps/s",
             "seconds_per_cycle": round(sec / args.chain, 4),

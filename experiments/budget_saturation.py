@@ -57,6 +57,7 @@ def main(argv=None):
     kinds = jnp.full((G, P), KIND_PUCT, jnp.int32)
     mc_pers = jnp.full((G, P), 10, jnp.int32)
     c_pucts = jnp.full((G, P), 2.0, jnp.float32)
+    epses = jnp.zeros((G, P), jnp.float32)  # no learner seats
 
     results = {}
     key = jax.random.key(args.seed)
@@ -68,7 +69,7 @@ def main(argv=None):
             budgets[:, low_seat] = budget
             key, sub = jax.random.split(key)
             scores, _, _ = block(
-                params, kinds, jnp.asarray(budgets), mc_pers, c_pucts, sub
+                params, (), kinds, jnp.asarray(budgets), mc_pers, c_pucts, epses, sub
             )
             s = np.asarray(scores)
             wins += float(np.sum(s[:, low_seat] > s[:, 1 - low_seat]))
