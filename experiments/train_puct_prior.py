@@ -114,10 +114,13 @@ def main(argv=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, jnp.mean(scores)
 
+    epses = jnp.zeros((G, P), jnp.float32)  # no learner seats
+
     def train_iter(params, opt_state, key):
         rep = lambda x: jnp.broadcast_to(x[None, None], (G, P) + x.shape)
         scores, traj, _ = selfplay(
-            jax.tree.map(rep, params), kinds, mc_maxes, mc_pers, c_pucts, key
+            jax.tree.map(rep, params), (), kinds, mc_maxes, mc_pers, c_pucts,
+            epses, key,
         )
         return update(params, opt_state, traj, scores)
 

@@ -364,3 +364,50 @@ def test_reinforce_fold_time_order():
     assert np.array_equal(
         legal, np.tile(np.arange(CFG.max_turns, 0, -1), (G * CFG.num_players, 1))
     )
+
+
+def test_chained_cycles_match_sequential_dispatches():
+    """The chained-cycle production cadence (lax.scan over full DQN cycles,
+    as benched in experiments/bench_trainable.py) computes exactly what
+    back-to-back dispatches compute -- same params, same buffer."""
+    from jax import lax
+
+    from rl6nimmt_tpu.runtime.vector import make_dqn_selfplay_step
+
+    dqn_cfg = DQNConfig(double=True, hidden_sizes=(16,), minibatch=16)
+    spec = q_network_spec(dqn_cfg, CFG.state_length, CFG.num_actions)
+    params = mlp_init(jax.random.key(60), spec)
+    target = jax.tree.map(jnp.copy, params)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    example = {
+        "state": jnp.zeros(CFG.state_length),
+        "action": jnp.zeros((), jnp.int32),
+        "reward": jnp.zeros(()),
+        "next_state": jnp.zeros(CFG.state_length),
+        "done": jnp.zeros(()),
+    }
+    buf = ring_init(2048, example)
+    cycle = make_dqn_selfplay_step(CFG, dqn_cfg, optimizer, num_games=8, learn_iters=2)
+
+    keys = jax.random.split(jax.random.key(61), 3)
+    eps = jnp.asarray(0.2)
+
+    seq = (params, target, opt_state, buf)
+    for k in keys:
+        out = cycle(*seq, k, eps)
+        seq = out[:4]
+
+    def chained(params, target, opt_state, buf):
+        def body(c, k):
+            p, t, o, b, m = cycle(*c, k, eps)
+            return (p, t, o, b), m["loss"]
+        carry, _ = lax.scan(body, (params, target, opt_state, buf), keys)
+        return carry
+
+    chain = jax.jit(chained)(params, target, opt_state, buf)
+    for a, b in zip(jax.tree.leaves(seq[0]), jax.tree.leaves(chain[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(seq[3].storage["state"]), np.asarray(chain[3].storage["state"])
+    )
