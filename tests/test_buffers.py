@@ -106,6 +106,35 @@ def test_per_sampling_tracks_priorities():
     assert abs(frac - expect) < 0.05
 
 
+def test_per_blocked_matches_flat_searchsorted():
+    """Two-level draw resolution == flat searchsorted(cumsum, u, 'left').
+
+    Integer-valued f32 priorities keep every partial sum exact (< 2^24), so
+    block-wise and flat summation agree bit-for-bit and the comparison must
+    be EXACT -- including zero runs (empty slots), ties, and draws landing
+    on block boundaries.
+    """
+    from rl6nimmt_tpu.buffers.per import _block_size, _stratified_indices
+
+    rng = np.random.RandomState(7)
+    for cap, n in [(100, 10), (1000, 64), (5000, 64), (20000, 128)]:
+        B = _block_size(cap)
+        for case in range(3):
+            pri = rng.randint(0, 8, size=cap).astype(np.float32)
+            if case == 1:
+                pri[cap // 2 :] = 0.0  # half-empty buffer
+            if case == 2:
+                pri[:] = 1.0  # uniform ties
+            total = pri.sum()
+            u = np.sort(rng.uniform(0, total, size=n)).astype(np.float32)
+            # Exact block-boundary draws: u equal to a block's end-cumsum.
+            u[0] = np.cumsum(pri)[B - 1]
+            got = np.asarray(_stratified_indices(jnp.asarray(pri), jnp.asarray(u)))
+            want = np.searchsorted(np.cumsum(pri), u, side="left")
+            want = np.minimum(want, cap - 1)
+            np.testing.assert_array_equal(got, want, err_msg=f"cap={cap} case={case}")
+
+
 def test_per_update_priority_formula():
     state = per_init(8, {"x": jnp.zeros(())})
     for i in range(8):
