@@ -89,17 +89,22 @@ def per_add(state: PERState, item: Any) -> PERState:
 
 def per_add_batch(state: PERState, items: Any) -> PERState:
     """Batch insert, all at the current max priority."""
+    from .ring import circular_write
+
     n = jax.tree.leaves(items)[0].shape[0]
     cap = per_capacity(state)
-    if n > cap:  # duplicate scatter indices would drop transitions silently
+    if n > cap:  # duplicate write positions would drop transitions silently
         raise ValueError(f"batch of {n} transitions exceeds buffer capacity {cap}")
     max_p = jnp.max(state.priorities)
     priority = jnp.where(max_p == 0.0, ABS_ERROR_UPPER, max_p)
-    idx = (state.ptr + jnp.arange(n)) % cap
-    storage = jax.tree.map(lambda buf, x: buf.at[idx].set(x), state.storage, items)
+    storage = jax.tree.map(
+        lambda buf, x: circular_write(buf, x, state.ptr), state.storage, items
+    )
     return PERState(
         storage=storage,
-        priorities=state.priorities.at[idx].set(priority),
+        priorities=circular_write(
+            state.priorities, jnp.broadcast_to(priority, (n,)), state.ptr
+        ),
         ptr=(state.ptr + n) % cap,
         size=jnp.minimum(state.size + n, cap),
         beta=state.beta,

@@ -14,6 +14,27 @@ from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+
+def circular_write(buf: jnp.ndarray, items: jnp.ndarray, ptr: jnp.ndarray) -> jnp.ndarray:
+    """Write ``items`` rows at positions ``(ptr + arange(n)) % cap``.
+
+    Equivalent to ``buf.at[(ptr + arange(n)) % cap].set(items)`` but built
+    from contiguous ops: one ``dynamic_update_slice`` into a ``[cap+n]``
+    extension, then the wrapped spill is folded back over the head with a
+    static-shape select.  XLA lowers the row-scatter with wrapped indices to
+    per-row DMAs (~15x off memory bandwidth on TPU for large batches); this
+    version moves every byte in large contiguous chunks.
+    """
+    n = items.shape[0]
+    cap = buf.shape[0]
+    ext = jnp.concatenate([buf, buf[:n]], axis=0)
+    ext = lax.dynamic_update_slice_in_dim(ext, items, ptr, axis=0)
+    main, spill = ext[:cap], ext[cap:]
+    wrapped = (jnp.arange(n) + (cap - n) < ptr).reshape((n,) + (1,) * (buf.ndim - 1))
+    head = jnp.where(wrapped, spill, main[:n])
+    return jnp.concatenate([head, main[n:]], axis=0)
 
 
 class RingState(NamedTuple):
@@ -51,10 +72,11 @@ def ring_add_batch(state: RingState, items: Any) -> RingState:
     """Store a leading-axis batch of transitions (wrapping scatter)."""
     n = jax.tree.leaves(items)[0].shape[0]
     cap = ring_capacity(state)
-    if n > cap:  # duplicate scatter indices would drop transitions silently
+    if n > cap:  # duplicate write positions would drop transitions silently
         raise ValueError(f"batch of {n} transitions exceeds buffer capacity {cap}")
-    idx = (state.ptr + jnp.arange(n)) % cap
-    storage = jax.tree.map(lambda buf, x: buf.at[idx].set(x), state.storage, items)
+    storage = jax.tree.map(
+        lambda buf, x: circular_write(buf, x, state.ptr), state.storage, items
+    )
     return RingState(
         storage,
         (state.ptr + n) % cap,

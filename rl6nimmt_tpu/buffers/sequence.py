@@ -78,17 +78,20 @@ def seq_store_batch(state: SeqState, seqs: Any, lengths: jnp.ndarray) -> SeqStat
     capacity).  The interactive one-at-a-time path keeps using
     :func:`seq_store`/:func:`seq_flush`.
     """
+    from .ring import circular_write
+
     cap = seq_capacity(state)
     B = lengths.shape[0]
-    if B > cap:  # duplicate scatter indices would corrupt slots silently
+    if B > cap:  # duplicate write positions would corrupt slots silently
         raise ValueError(f"batch of {B} sequences exceeds buffer capacity {cap}")
-    idx = (state.ptr + jnp.arange(B, dtype=jnp.int32)) % cap
     storage = jax.tree.map(
-        lambda buf, batch: buf.at[idx].set(batch), state.storage, seqs
+        lambda buf, batch: circular_write(buf, batch, state.ptr), state.storage, seqs
     )
     return state._replace(
         storage=storage,
-        seq_len=state.seq_len.at[idx].set(lengths.astype(jnp.int32)),
+        seq_len=circular_write(
+            state.seq_len, lengths.astype(jnp.int32), state.ptr
+        ),
         ptr=(state.ptr + B) % cap,
         size=jnp.minimum(state.size + B, cap),
     )

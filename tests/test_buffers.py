@@ -106,6 +106,25 @@ def test_per_sampling_tracks_priorities():
     assert abs(frac - expect) < 0.05
 
 
+def test_circular_write_matches_wrapped_scatter():
+    """Contiguous circular write == buf.at[(ptr+arange(n)) % cap].set(items)."""
+    from rl6nimmt_tpu.buffers.ring import circular_write
+
+    rng = np.random.RandomState(3)
+    for cap, n in [(10, 3), (10, 10), (64, 17), (100, 99), (128, 64)]:
+        for ptr in {0, 1, cap - 1, cap - n, max(cap - n - 1, 0), cap // 2}:
+            for shape in [(), (5,)]:
+                buf = rng.random((cap,) + shape).astype(np.float32)
+                items = rng.random((n,) + shape).astype(np.float32)
+                want = buf.copy()
+                want[(ptr + np.arange(n)) % cap] = items
+                got = np.asarray(
+                    circular_write(jnp.asarray(buf), jnp.asarray(items),
+                                   jnp.asarray(ptr, jnp.int32))
+                )
+                np.testing.assert_array_equal(got, want, err_msg=f"{cap},{n},{ptr},{shape}")
+
+
 def test_per_blocked_matches_flat_searchsorted():
     """Two-level draw resolution == flat searchsorted(cumsum, u, 'left').
 
