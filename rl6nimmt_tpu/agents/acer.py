@@ -35,6 +35,7 @@ import optax
 from ..buffers.host import HostSequentialHistory
 from ..nets import MLPSpec, mlp_init
 from .base import Agent, pad_cards
+from ..utils.tpu_ops import onehot_select
 
 LOG_EPSILON = -20.0
 
@@ -296,15 +297,15 @@ def make_acer_train_step(
         log_probs_now, q = jax.vmap(
             lambda s, c: actor_critic_heads(spec, params, s, c)
         )(seq["state"], seq["legal_cards"])
-        aid = seq["action_id"][:, None]
-        q_a = jnp.take_along_axis(q, aid, axis=1)[:, 0]
-        logp_now_a = jnp.take_along_axis(log_probs_now, aid, axis=1)[:, 0]
+        aid = seq["action_id"]
+        q_a = onehot_select(q, aid)
+        logp_now_a = onehot_select(log_probs_now, aid)
         v = jax.lax.stop_gradient(
             jnp.sum(q * jnp.exp(log_probs_now), axis=1)
         )
 
         rho = jax.lax.stop_gradient(jnp.exp(log_probs_now - seq["log_probs"]))
-        rho_a = jnp.take_along_axis(rho, aid, axis=1)[:, 0]
+        rho_a = onehot_select(rho, aid)
         rho_bar = jnp.minimum(rho_a, truncate)
         correction_coeff = jnp.maximum(1.0 - truncate / rho, 0.0)
 

@@ -42,6 +42,7 @@ from ..nets import MLPSpec, mlp_init
 from .base import Agent, pad_cards
 from .reinforce import action_in_input_logits
 from .search import build_root_states_batch, make_playout_fn
+from ..utils.tpu_ops import onehot_select
 
 # Playout-call shaping for the cross-game block path: totals above PLAYOUT_CHUNK
 # run as exact fixed-size chunks (one compiled shape), the remainder pads up to
@@ -506,7 +507,7 @@ class PolicyMCSAgent(BaseMCAgent):
                 batch["state"], batch["legal_cards"]
             )
             logp = jax.nn.log_softmax(logits)
-            chosen = jnp.take_along_axis(logp, batch["chosen"][:, None], axis=1)[:, 0]
+            chosen = onehot_select(logp, batch["chosen"])
             return -jnp.sum(chosen)  # imitate own search choices (mcts.py:245-256)
 
         def train(params, opt_state, batch):
@@ -647,9 +648,9 @@ class PUCTCustomedAgent(PUCTAgent):
             logp, values = jax.vmap(lambda s, c: _policy_value(spec, params, s, c))(
                 batch["state"], batch["legal_cards"]
             )
-            chosen = batch["chosen"][:, None]
-            chosen_logp = jnp.take_along_axis(logp, chosen, axis=1)[:, 0]
-            chosen_v = jnp.take_along_axis(values, chosen, axis=1)[:, 0]
+            chosen = batch["chosen"]
+            chosen_logp = onehot_select(logp, chosen)
+            chosen_v = onehot_select(values, chosen)
             reward_sum = jnp.sum(batch["reward"]) / r_factor
             outcome_loss = jnp.mean((chosen_v - reward_sum) ** 2)
             policy_loss = -jnp.sum(chosen_logp)

@@ -35,6 +35,7 @@ import optax
 
 from ..nets import MLPSpec, mlp_apply, mlp_init, normalize_state
 from ..utils.returns import discounted_returns
+from ..utils.tpu_ops import onehot_select
 from .base import Agent, pad_cards
 
 NEG_INF = -1e9
@@ -115,7 +116,7 @@ def reinforce_loss(
     logits = per_step_logits_fn(params, batch)           # [T, A]
     logp, entropy = log_probs_and_entropy(logits)
     t = jnp.arange(logp.shape[0], dtype=jnp.float32)
-    chosen_logp = jnp.take_along_axis(logp, batch["chosen"][:, None], axis=1)[:, 0]
+    chosen_logp = onehot_select(logp, batch["chosen"])
     returns = discounted_returns(batch["reward"], gamma)
     actor_loss = -jnp.sum(gamma**t * returns * chosen_logp)
     entropy_loss = -jnp.sum(entropy)
