@@ -29,6 +29,9 @@ def circular_write(buf: jnp.ndarray, items: jnp.ndarray, ptr: jnp.ndarray) -> jn
     """
     n = items.shape[0]
     cap = buf.shape[0]
+    # The replaced ``buf.at[idx].set(items)`` silently cast; keep that
+    # contract (dynamic_update_slice itself requires exact dtype match).
+    items = items.astype(buf.dtype)
     ext = jnp.concatenate([buf, buf[:n]], axis=0)
     ext = lax.dynamic_update_slice_in_dim(ext, items, ptr, axis=0)
     main, spill = ext[:cap], ext[cap:]

@@ -31,7 +31,7 @@ from ..agents.dqn import DQNAgent, DQNConfig, q_values
 from ..agents.reinforce import action_in_input_logits
 from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
-from ..utils.tpu_ops import onehot_select
+from ..utils.tpu_ops import onehot_select, uniform_index
 
 NEG_INF = -1e9
 
@@ -54,7 +54,7 @@ def _seat_actions(policy: SeatPolicy, params, eps, obs, hands_sorted, masks, key
     """Actions for one seat across all games: ``[G]``."""
     if policy.kind == "random":
         count = jnp.sum(hands_sorted >= 0, axis=-1)
-        r = jnp.floor(jax.random.uniform(key, count.shape) * count).astype(jnp.int32)
+        r = uniform_index(key, count)
         return onehot_select(hands_sorted, r).astype(jnp.int32)
 
     if policy.kind == "policy":
@@ -72,7 +72,7 @@ def _seat_actions(policy: SeatPolicy, params, eps, obs, hands_sorted, masks, key
         if cfg.noisy:
             return greedy
         count = jnp.sum(hands_sorted >= 0, axis=-1)
-        r = jnp.floor(jax.random.uniform(rand_key, count.shape) * count).astype(jnp.int32)
+        r = uniform_index(rand_key, count)
         uniform = onehot_select(hands_sorted, r).astype(jnp.int32)
         explore = jax.random.uniform(eps_key, greedy.shape) < eps  # traced
         return jnp.where(explore, uniform, greedy)

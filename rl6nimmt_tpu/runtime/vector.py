@@ -42,7 +42,7 @@ from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
 from ..nets import MLPSpec
 from ..utils.returns import discounted_returns
-from ..utils.tpu_ops import onehot_select
+from ..utils.tpu_ops import onehot_select, uniform_index
 
 NEG_INF = -1e9
 
@@ -72,7 +72,7 @@ def make_random_rollout(cfg: EnvConfig, num_games: int, with_observations: bool 
         """
         hs = state.hands_sorted                                # [G, P, H]
         count = jnp.sum(hs >= 0, axis=-1)                      # [G, P]
-        r = jnp.floor(jax.random.uniform(key, count.shape) * count).astype(jnp.int32)
+        r = uniform_index(key, count)
         slot = lax.broadcasted_iota(jnp.int32, hs.shape, 2)
         return jnp.sum(jnp.where(slot == r[..., None], hs, 0), axis=-1).astype(jnp.int32)
 
@@ -233,7 +233,7 @@ def _make_pallas_generations(
                 if with_observations:
                     checksum = checksum + jnp.sum(observe_from(board_t, len_t, hs))
                 count = jnp.sum(hs >= 0, axis=-1)
-                r = jnp.floor(jax.random.uniform(sub, count.shape) * count).astype(jnp.int32)
+                r = uniform_index(sub, count)
                 slot = lax.broadcasted_iota(jnp.int32, hs.shape, 2)
                 acts = jnp.sum(jnp.where(slot == r[..., None], hs, 0), axis=-1).astype(jnp.int32)
                 board_t, len_t, rew_t = resolve_t(board_t, len_t, acts)
@@ -438,7 +438,7 @@ def make_dqn_selfplay_step(
         # (same distribution as a masked categorical over 104 lanes at ~100x
         # less RNG -- the engine's uniform_legal trick).
         count = jnp.sum(hands_sorted >= 0, axis=-1)
-        r = jnp.floor(jax.random.uniform(rand_key, count.shape) * count).astype(jnp.int32)
+        r = uniform_index(rand_key, count)
         uniform = onehot_select(hands_sorted, r)
         explore = jax.random.uniform(eps_key, greedy.shape) < eps
         return jnp.where(explore, uniform, greedy).astype(jnp.int32)

@@ -8,8 +8,23 @@ select-and-reduce is far faster and fuses into neighboring elementwise work.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def uniform_index(key, count: jnp.ndarray) -> jnp.ndarray:
+    """Uniform integer draw in ``[0, count)`` per element, one uniform each.
+
+    ``floor(u * count)`` with a defensive clamp to ``count - 1``: JAX's
+    float32 uniform tops out at ``1 - 2**-24`` today, but that invariant is
+    backend-sensitive (a draw within half an ulp of 1.0 times a power-of-two
+    count would round up to ``count`` and select an out-of-range slot).  The
+    clamp is free on TPU and makes the legality invariant explicit.  Rows
+    with ``count == 0`` return 0, matching the unclamped expression.
+    """
+    r = jnp.floor(jax.random.uniform(key, jnp.shape(count)) * count).astype(jnp.int32)
+    return jnp.minimum(r, jnp.maximum(count - 1, 0).astype(jnp.int32))
 
 
 def onehot_select(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -23,6 +23,9 @@ from rl6nimmt_tpu.agents import (
 )
 from rl6nimmt_tpu.runtime import GameSession
 
+pytestmark = pytest.mark.heavy  # compile-heavy suite; run via `pytest -m heavy`
+
+
 
 def leaves_differ(a, b):
     return any(

@@ -16,6 +16,9 @@ from rl6nimmt_tpu.runtime.metrics import MetricLogger, Timer, grad_stats, timeit
 from rl6nimmt_tpu.tournament import Tournament
 from rl6nimmt_tpu.utils import load_checkpoint, load_params, save_checkpoint, save_params
 
+pytestmark = pytest.mark.heavy  # compile-heavy suite; run via `pytest -m heavy`
+
+
 
 def test_checkpoint_roundtrip_tournament(tmp_path):
     t = Tournament()

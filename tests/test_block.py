@@ -20,6 +20,9 @@ from rl6nimmt_tpu.runtime.block import BlockSession
 from rl6nimmt_tpu.runtime.session import GameSession
 from rl6nimmt_tpu.tournament import Tournament
 
+pytestmark = pytest.mark.heavy  # compile-heavy device suite; run via `pytest -m heavy`
+
+
 
 def _opening_position(num_players=3, env_seed=11):
     env = SechsNimmtEnv(num_players, seed=env_seed)

@@ -8,6 +8,9 @@ import pytest
 
 from rl6nimmt_tpu.runtime.callback_human import play_callback_game
 
+pytestmark = pytest.mark.heavy  # compile-heavy suite; run via `pytest -m heavy`
+
+
 
 def test_callback_game_completes_with_scripted_human(monkeypatch, capsys):
     """The io_callback seat drives a full jitted game; scripted stdin plays

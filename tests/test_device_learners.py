@@ -16,6 +16,7 @@ PUCTCustomed acting inside the kind-traced device program:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rl6nimmt_tpu.agents.acer import BatchedACERAgent, actor_critic_heads
 from rl6nimmt_tpu.agents.dqn import DQNVanilla, DuellingDQNAgent, Noisy_D3QN_PRB_NStep
@@ -37,6 +38,9 @@ from rl6nimmt_tpu.runtime.device_tournament import (
     device_lineup_eligible,
     seat_slot,
 )
+
+pytestmark = pytest.mark.heavy  # compile-heavy device suite; run via `pytest -m heavy`
+
 
 CFG = EnvConfig(num_players=4)
 

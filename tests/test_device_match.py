@@ -2,10 +2,14 @@
 
 import jax
 import numpy as np
+import pytest
 
 from rl6nimmt_tpu.engine.state import EnvConfig
 from rl6nimmt_tpu.nets import MLPSpec, mlp_init
 from rl6nimmt_tpu.runtime.device_match import make_device_match_fn
+
+pytestmark = pytest.mark.heavy  # compile-heavy device suite; run via `pytest -m heavy`
+
 
 
 def test_device_match_shapes_and_strength():

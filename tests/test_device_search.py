@@ -19,6 +19,9 @@ from rl6nimmt_tpu.agents.device_search import (
 )
 from rl6nimmt_tpu.runtime import GameSession
 
+pytestmark = pytest.mark.heavy  # compile-heavy device suite; run via `pytest -m heavy`
+
+
 
 def _stats_from_outcomes(legal, outcomes, buf_len):
     """Build the device path's (act_sum, act_cnt, rets_buf, completed)."""

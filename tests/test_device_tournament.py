@@ -36,6 +36,9 @@ from rl6nimmt_tpu.runtime.device_tournament import (
 )
 from rl6nimmt_tpu.tournament import Tournament
 
+pytestmark = pytest.mark.heavy  # compile-heavy device suite; run via `pytest -m heavy`
+
+
 MC_MAX, BATCH = 16, 4
 
 

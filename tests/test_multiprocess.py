@@ -18,6 +18,9 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # real multi-process runs; run via `pytest -m slow`
+
+
 REPO = Path(__file__).resolve().parent.parent
 SCRIPT = REPO / "experiments" / "multiprocess_dp.py"
 

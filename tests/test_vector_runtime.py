@@ -24,6 +24,9 @@ from rl6nimmt_tpu.runtime.vector import (
     make_reinforce_train_step,
 )
 
+pytestmark = pytest.mark.heavy  # compile-heavy suite; run via `pytest -m heavy`
+
+
 
 CFG = EnvConfig(num_players=4)
 
