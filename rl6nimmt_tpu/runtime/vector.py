@@ -630,6 +630,7 @@ def make_acer_selfplay_step(
     minibatch: int = 64,
     actor_weight: float = 1.0,
     critic_weight: float = 1.0,
+    on_policy_sequences: Optional[int] = None,
     axis_name: Optional[str] = None,
 ):
     """Fused ACER self-play cycle: rollout + sequence-buffer fill + updates.
@@ -640,6 +641,18 @@ def make_acer_selfplay_step(
     ON-policy update on the fresh sequences and one OFF-policy update on a
     uniform ``minibatch`` of stored sequences -- the same two-phase scheme,
     scaled from 1 sequence to thousands per phase.
+
+    ``on_policy_sequences`` bounds the on-policy phase: ``None`` trains on
+    ALL ``G*P`` fresh sequences (the historical default of this runtime),
+    while an integer ``k`` trains on a uniform without-replacement subsample
+    of ``k`` fresh sequences.  The reference's cadence trains on exactly ONE
+    fresh sequence per flush against ``minibatch`` replayed ones
+    (actor_critic.py:173-177), so the all-fresh default scales the
+    on:off-policy update ratio from 1:``minibatch`` to ``G*P``:``minibatch``;
+    subsampling (e.g. ``k = minibatch``) restores the reference's balance and
+    removes the dominant structural cost of the cycle (the on-policy matmuls
+    over 16k sequences, ``experiments/micro_acer.py``).  An arena A/B between
+    the two settings is recorded in RESULTS.md (round 3).
 
     Signature: ``(params, opt_state, buf, key) -> (params, opt_state, buf,
     metrics)`` where ``buf`` comes from ``seq_init(capacity, max_turns,
@@ -660,14 +673,26 @@ def make_acer_selfplay_step(
         axis_name=axis_name,
     )
 
+    n_fresh = num_games * cfg.num_players
+    k_on = None if on_policy_sequences is None else min(on_policy_sequences, n_fresh)
+
     def cycle(params, opt_state, buf, key):
         roll_key, sample_key = jax.random.split(key)
         seqs, scores = rollout(params, roll_key)
         buf = seq_store_batch(
             buf, {k: v for k, v in seqs.items() if k != "length"}, seqs["length"]
         )
-        # On-policy: the fresh rollout itself.
-        params, opt_state, on_losses = train(params, opt_state, seqs)
+        # On-policy: the fresh rollout itself (optionally a uniform
+        # without-replacement subsample of it -- see docstring).  The
+        # subsample key is derived by fold_in so the all-fresh path consumes
+        # the exact RNG stream it always did.
+        if k_on is None or k_on == n_fresh:
+            on_batch = seqs
+        else:
+            on_key = jax.random.fold_in(sample_key, 1)
+            idx = jax.random.choice(on_key, n_fresh, (k_on,), replace=False)
+            on_batch = {k: v[idx] for k, v in seqs.items()}
+        params, opt_state, on_losses = train(params, opt_state, on_batch)
         # Off-policy: uniform replay of stored sequences.
         _, batch, lengths = seq_sample(buf, sample_key, minibatch)
         batch = dict(batch, length=lengths)

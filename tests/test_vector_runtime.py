@@ -259,6 +259,63 @@ def test_acer_selfplay_step():
     assert float(np.asarray(metrics["mean_score"])) < 0
 
 
+def test_acer_on_policy_subsample():
+    """on_policy_sequences: full-count setting is bit-identical to the
+    default; a strict subsample trains on exactly the gathered subset (the
+    on-policy losses equal a direct train() on those k sequences)."""
+    import jax
+    from rl6nimmt_tpu.agents.acer import make_acer_train_step
+    from rl6nimmt_tpu.buffers import seq_init
+    from rl6nimmt_tpu.runtime.vector import make_acer_rollout, make_acer_selfplay_step
+
+    G = 4
+    n_fresh = G * CFG.num_players
+    spec = MLPSpec(input_size=1 + CFG.state_length, head_sizes=(1, 1))
+    params = mlp_init(jax.random.key(50), spec)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    example = {
+        "state": jnp.zeros(CFG.state_length),
+        "legal_cards": jnp.zeros(10, jnp.int32),
+        "log_probs": jnp.zeros(10),
+        "action_id": jnp.zeros((), jnp.int32),
+        "reward": jnp.zeros(()),
+        "done": jnp.zeros(()),
+    }
+    key = jax.random.key(51)
+
+    default = make_acer_selfplay_step(CFG, spec, optimizer, G, minibatch=8)
+    full = make_acer_selfplay_step(
+        CFG, spec, optimizer, G, minibatch=8, on_policy_sequences=n_fresh
+    )
+    out_d = default(params, opt_state, seq_init(64, CFG.max_turns, example), key)
+    out_f = full(params, opt_state, seq_init(64, CFG.max_turns, example), key)
+    for a, b in zip(jax.tree.leaves(out_d[:2]), jax.tree.leaves(out_f[:2])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Strict subsample: reproduce the cycle's on-policy phase by hand with
+    # the same derived key and assert the on-policy losses match exactly.
+    k = 6
+    sub = make_acer_selfplay_step(
+        CFG, spec, optimizer, G, minibatch=8, on_policy_sequences=k
+    )
+    _, _, _, metrics = sub(params, opt_state, seq_init(64, CFG.max_turns, example), key)
+
+    roll_key, sample_key = jax.random.split(key)
+    seqs, _ = jax.jit(make_acer_rollout(CFG, spec, G, r_factor=0.1))(params, roll_key)
+    on_key = jax.random.fold_in(sample_key, 1)
+    idx = jax.random.choice(on_key, n_fresh, (k,), replace=False)
+    on_batch = {kk: v[idx] for kk, v in seqs.items()}
+    train = make_acer_train_step(spec, optimizer)
+    _, _, losses = jax.jit(train)(params, opt_state, on_batch)
+    np.testing.assert_allclose(
+        float(np.asarray(metrics["actor_loss"])), float(np.asarray(losses[0])), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(metrics["critic_loss"])), float(np.asarray(losses[2])), rtol=1e-6
+    )
+
+
 def test_acer_selfplay_matches_agent_math_on_policy():
     """First-cycle on-policy actor loss ~ 0 momentum: behavior == current
     policy at rollout time, so rho == 1 and the correction term vanishes
