@@ -19,9 +19,11 @@ softmax over the legal [action|state] rows), both REINFORCE variants
 single net forwards per decision, compiled into the same kind-traced
 program as static "learner slots" (:class:`LearnerSlot`, one per distinct
 (family, architecture) in the population).  Their *learning* — replay-buffer
-updates, episode losses — replays host-side from the captured trajectory in
-the exact GameSession argument stream, like the search learners'
-self-imitation.
+updates, episode losses — replays from the captured trajectory in the exact
+GameSession argument stream: host-side by default (like the search learners'
+self-imitation), or fused into per-agent device programs with
+``device_learning=True`` (:mod:`.device_learn` — same np.random/key
+consumption order, same update math, buffers resident on device).
 
 Protocol notes (the block deviations of PARITY.md #10/#11 extended):
 
@@ -446,6 +448,7 @@ class DeviceBlockSession:
         bucket: Optional[int] = None,
         mesh=None,
         slots: Optional[Tuple[LearnerSlot, ...]] = None,
+        device_learning: bool = False,
     ):
         assert lineups, "need at least one game"
         P = len(lineups[0])
@@ -486,6 +489,13 @@ class DeviceBlockSession:
             slots = tuple(slots)
             assert needed <= set(slots), "lineup uses a learner slot not provided"
         self.slots = slots
+        # device_learning=True moves learner *updates* on device too: the
+        # learn replay below hands DQN/ACER/REINFORCE streams to the planners
+        # in runtime.device_learn (same np.random/key consumption order, same
+        # update math, one fused device program per agent per block) instead
+        # of a host `learn` call per step.  Search self-imitation (and DQN
+        # agents with a summary_writer) still replay host-side.
+        self.device_learning = device_learning
         self.results: List[np.ndarray] = []
         # Wall-clock split of the last play() call: host param assembly,
         # device program (incl. the result fetch, which bounds execution on
@@ -593,6 +603,22 @@ class DeviceBlockSession:
         # Per-family agent infos mirror what each host forward returns
         # (and its learn consumes): search/pv/reinforce step records,
         # ACER's behavior log_probs + action_id, nothing for DQN/random.
+        # With device_learning, learner streams route to device planners
+        # instead (identical bookkeeping/RNG order; updates fused on device).
+        planners = {}
+        if self.device_learning:
+            from .device_learn import make_planner
+
+            def planner_for(agent):
+                if id(agent) not in planners:
+                    planners[id(agent)] = make_planner(agent)
+                return planners[id(agent)]
+
+        else:
+
+            def planner_for(agent):
+                return None
+
         for g, agents in enumerate(self.lineups):
             prev_rewards = np.zeros(P, np.int64)
             for t in range(H):
@@ -601,6 +627,52 @@ class DeviceBlockSession:
                     pick = int(picks[t, g, i])
                     action = int(hands[t, g, i, pick])
                     fam = families[g][i]
+                    if fam in ("dqn", "acer", "rai", "rmask"):
+                        planner = planner_for(agent)
+                        if planner is not None:
+                            if fam == "dqn":
+                                planner.on_step(
+                                    state=obs[t, g, i],
+                                    reward=prev_rewards[i],
+                                    action=action,
+                                    next_state=(
+                                        final_obs[g, i] if done else obs[t + 1, g, i]
+                                    ),
+                                    done=done,
+                                )
+                            elif fam == "acer":
+                                planner.on_step(
+                                    state=obs[t, g, i],
+                                    legal_cards=hands[t, g, i],
+                                    log_probs=logp_vecs[t, g, i],
+                                    action_id=pick,
+                                    next_reward=rewards[t, g, i],
+                                    done=done,
+                                    episode_end=done,
+                                )
+                            elif fam == "rai":
+                                planner.on_step(
+                                    step_record={
+                                        "state": obs[t, g, i],
+                                        "legal_cards": hands[t, g, i],
+                                        "chosen": np.int32(pick),
+                                    },
+                                    reward=prev_rewards[i],
+                                    episode_end=done,
+                                )
+                            else:  # rmask
+                                mask = np.zeros(self.cfg.num_cards, dtype=bool)
+                                mask[hands[t, g, i][hands[t, g, i] >= 0]] = True
+                                planner.on_step(
+                                    step_record={
+                                        "state": obs[t, g, i],
+                                        "legal_mask": mask,
+                                        "chosen": np.int32(action),
+                                    },
+                                    reward=prev_rewards[i],
+                                    episode_end=done,
+                                )
+                            continue
                     if fam in ("random", "dqn"):
                         info = {}
                     elif fam == "acer":
@@ -646,6 +718,10 @@ class DeviceBlockSession:
                         **info,
                     )
                 prev_rewards = rewards[t, g]
+
+        for planner in planners.values():
+            if planner is not None:
+                planner.execute()
 
         t3 = _time.perf_counter()
         self.timings = {

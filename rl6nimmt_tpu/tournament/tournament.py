@@ -282,6 +282,7 @@ class Tournament:
         num_players: Optional[int] = None,
         bucket: Optional[int] = None,
         mesh=None,
+        device_learning: bool = False,
     ) -> None:
         """Play ``n_games`` with eligible lineups fused into device programs.
 
@@ -330,11 +331,24 @@ class Tournament:
             else:
                 host.append((j, agents))
 
+        if device_learning and host:
+            # A device-learned agent's replay buffer lives on device; letting
+            # the same agent also learn through the host BlockSession in the
+            # same tournament would split its training state.  Device
+            # learning therefore requires every learner-containing lineup to
+            # be device-routed (always true without Human / temperature-PUCT
+            # seats).
+            for _, agents in host:
+                assert not any(
+                    seat_slot(a) is not None and seat_slot(a)[0] == "learner"
+                    for a in agents
+                ), "device_learning: learner routed to a host lineup"
+
         scores = {}
         for group in device_groups.values():
             results = DeviceBlockSession(
                 [agents for _, agents in group], bucket=bucket, mesh=mesh,
-                slots=slots,
+                slots=slots, device_learning=device_learning,
             ).play()
             for (j, _), game_scores in zip(group, results):
                 scores[j] = game_scores
