@@ -1,14 +1,21 @@
-"""Headline benchmark: env throughput at 4096 parallel games on one chip.
+"""Headline benchmarks on one chip: env throughput + trainable throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints TWO JSON lines {"metric", "value", "unit", "vs_baseline"}:
 
-Metric definition: one env step = one simultaneous-move ``step`` of one game
-(all players play one card and the board resolves), *including* fresh
-observation construction for every seat -- the same work the reference's
-``SechsNimmtEnv.step`` does per call (env.py:64-77).  4096 four-player games
-x 10 turns per rollout, fully fused on device (deal + 10 steps + observations
-in one program).  ``vs_baseline`` is measured throughput over the
-BASELINE.json target of 10M env-steps/s per chip.
+1. env-steps/s of the fused random-play kernel at 4096 parallel games --
+   one env step = one simultaneous-move ``step`` of one game (all players
+   play one card and the board resolves), *including* fresh observation
+   construction for every seat, the same work the reference's
+   ``SechsNimmtEnv.step`` does per call (env.py:64-77).  Guarded by a
+   Pallas-vs-engine bit-exactness check.
+2. env-steps/s of the REAL flagship training cycle (VERDICT r2 #1):
+   Noisy-D3QN-PER-10step self-play + 8 Bellman updates per cycle at 4096
+   games, 64 cycles chained per dispatch (production cadence).  Guarded by
+   a chained-vs-sequential bit-identity check run on this chip before
+   timing.
+
+``vs_baseline`` is measured throughput over the BASELINE.json target of
+10M env-steps/s per chip for both lines.
 """
 
 import json
@@ -66,6 +73,123 @@ def verify_kernel_exactness(cfg):
         np.testing.assert_array_equal(np.asarray(k_rewards), np.asarray(e_rewards))
 
 
+def make_trainable_cycle(cfg, num_games, chain, learn_iters=8):
+    """The flagship DQN training cycle, ``chain`` cycles per dispatch."""
+    import jax.numpy as jnp
+    import optax
+    from jax import lax
+
+    from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec
+    from rl6nimmt_tpu.buffers import per_init
+    from rl6nimmt_tpu.nets import mlp_init
+    from rl6nimmt_tpu.runtime.vector import make_dqn_selfplay_step
+
+    dqn_cfg = DQNConfig(
+        double=True, dueling=True, noisy=True, per=True,
+        n_steps=10, hidden_sizes=(64,), minibatch=64,
+    )
+    spec = q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions)
+    params = mlp_init(jax.random.key(1), spec)
+    target = jax.tree.map(jnp.copy, params)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    example = {
+        "state": jnp.zeros(cfg.state_length),
+        "action": jnp.zeros((), jnp.int32),
+        "reward": jnp.zeros(()),
+        "next_state": jnp.zeros(cfg.state_length),
+        "done": jnp.zeros(()),
+    }
+    buf = per_init(200_000, example)
+    cycle = make_dqn_selfplay_step(cfg, dqn_cfg, optimizer, num_games, learn_iters=learn_iters)
+
+    def multi(params, target, opt_state, buf, key, eps):
+        def body(c, k):
+            p, t, o, b, m = cycle(*c, k, eps)
+            return (p, t, o, b), m["loss"]
+
+        carry, losses = lax.scan(
+            body, (params, target, opt_state, buf), jax.random.split(key, chain)
+        )
+        return carry + (losses,)
+
+    fn = jax.jit(multi) if chain > 1 else cycle
+    return fn, cycle, (params, target, opt_state, buf)
+
+
+def verify_trainable_exactness(cfg):
+    """Guard for the trainable metric: chained == sequential, bit-for-bit.
+
+    Two cycles fused into one dispatch must produce bit-identical losses and
+    parameters to two sequential dispatches from the same state ON THIS
+    CHIP (the CPU pin is tests/test_vector_runtime.py::
+    test_chained_cycles_match_sequential_dispatches).  Raises on mismatch,
+    so a silently-diverged chained program can never post a bench number.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    chained, cycle, (params, target, opt_state, buf) = make_trainable_cycle(
+        cfg, num_games=256, chain=2, learn_iters=8
+    )
+    key, eps = jax.random.key(3), jnp.asarray(0.1)
+    (p2, t2, o2, b2, losses2) = chained(params, target, opt_state, buf, key, eps)
+
+    c = (params, target, opt_state, buf)
+    seq_losses = []
+    for k in jax.random.split(key, 2):
+        p, t, o, b, m = cycle(*c, k, eps)
+        c = (p, t, o, b)
+        seq_losses.append(m["loss"])
+    np.testing.assert_array_equal(
+        np.asarray(losses2), np.asarray(jnp.stack(seq_losses))
+    )
+    for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(c[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    assert np.all(np.isfinite(np.asarray(losses2)))
+
+
+def bench_trainable(cfg, on_tpu):
+    """Second metric line: flagship DQN training-cycle env-steps/s."""
+    import numpy as np
+
+    chain = 64 if on_tpu else 2
+    iters = 5 if on_tpu else 2
+    fn, _, (params, target, opt_state, buf) = make_trainable_cycle(
+        cfg, NUM_GAMES if on_tpu else 64, chain
+    )
+    state = (params, target, opt_state, buf)
+    out = fn(*state, jax.random.key(10), 0.1)  # warmup/compile
+    state = out[:4]
+    _ = float(np.asarray(out[4])[-1])
+    elapsed = []
+    for i in range(iters):
+        start = time.perf_counter()
+        out = fn(*state, jax.random.key(11 + i), 0.1)
+        state = out[:4]
+        _ = float(np.asarray(out[4])[-1])  # fetch: bounds execution
+        elapsed.append(time.perf_counter() - start)
+    elapsed.sort()
+    median = elapsed[iters // 2]
+    games = NUM_GAMES if on_tpu else 64
+    steps_per_sec = games * cfg.max_turns * chain / median
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"trainable env-steps/s @ {games} games "
+                    f"(Noisy-D3QN-PER-10step selfplay + 8 updates/cycle, "
+                    f"{chain} chained)"
+                ),
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     cfg = EnvConfig(num_players=NUM_PLAYERS)
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
@@ -110,8 +234,15 @@ def main():
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # Second metric line (VERDICT r2 #1): the REAL training-cycle
+    # throughput, guarded by an on-chip chained-vs-sequential bit-identity
+    # check before any number is posted.
+    verify_trainable_exactness(cfg)
+    bench_trainable(cfg, on_tpu)
 
 
 if __name__ == "__main__":

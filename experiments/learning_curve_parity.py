@@ -131,6 +131,15 @@ def main():
             [v[:first] for v in data[algo]["reference"].values()]
         )
         our_head = np.concatenate([v[:first] for v in data[algo]["ours"].values()])
+        # Seed-level t: within-seed scores are autocorrelated (one learning
+        # trajectory), so the pooled per-game t overstates significance; the
+        # exchangeable unit is the seed (one final-quarter mean per seed).
+        ref_seed_means = [
+            float(np.mean(v[-tail:])) for v in data[algo]["reference"].values()
+        ]
+        our_seed_means = [
+            float(np.mean(v[-tail:])) for v in data[algo]["ours"].values()
+        ]
         summary[algo] = {
             "ref_final_mean": float(ref_tail.mean()),
             "ref_final_std": float(ref_tail.std()),
@@ -139,6 +148,9 @@ def main():
             "ref_improvement": float(ref_tail.mean() - ref_head.mean()),
             "ours_improvement": float(our_tail.mean() - our_head.mean()),
             "welch_t_final": welch_t(ref_tail, our_tail),
+            "welch_t_seed_level": welch_t(ref_seed_means, our_seed_means),
+            "ref_seed_means": ref_seed_means,
+            "ours_seed_means": our_seed_means,
             "games_per_seed": args.games,
             "seeds": args.seeds,
         }
