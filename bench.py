@@ -10,7 +10,7 @@ Prints TWO JSON lines {"metric", "value", "unit", "vs_baseline"}:
    Pallas-vs-engine bit-exactness check.
 2. env-steps/s of the REAL flagship training cycle (VERDICT r2 #1):
    Noisy-D3QN-PER-10step self-play + 8 Bellman updates per cycle at 4096
-   games, 64 cycles chained per dispatch (production cadence).  Guarded by
+   games, 256 cycles chained per dispatch (production cadence).  Guarded by
    a chained-vs-sequential bit-identity check run on this chip before
    timing.
 
@@ -153,7 +153,7 @@ def bench_trainable(cfg, on_tpu):
     """Second metric line: flagship DQN training-cycle env-steps/s."""
     import numpy as np
 
-    chain = 64 if on_tpu else 2
+    chain = 256 if on_tpu else 2
     iters = 5 if on_tpu else 2
     fn, _, (params, target, opt_state, buf) = make_trainable_cycle(
         cfg, NUM_GAMES if on_tpu else 64, chain

@@ -75,12 +75,18 @@ def q_network_spec(cfg: DQNConfig, state_length: int, num_actions: int) -> MLPSp
     )
 
 
-def q_values(cfg: DQNConfig, spec: MLPSpec, params, states, key=None):
+def q_values(cfg: DQNConfig, spec: MLPSpec, params, states, key=None, noise=None):
     """Q(s, .) for a batch of states; raw states (the reference DQNs do not
-    normalize their inputs, dqn.py:219-230)."""
+    normalize their inputs, dqn.py:219-230).
+
+    ``noise`` passes precomputed factorized noise (``nets.draw_mlp_noise``) --
+    bit-identical to drawing from the key it was derived from, but off the
+    caller's critical path (the vectorized runtime batches all turn/update
+    draws into one pass).
+    """
     if cfg.dueling:
-        return dueling_apply(spec, params, states, key)
-    (q,) = mlp_apply(spec, params, states, key)
+        return dueling_apply(spec, params, states, key, noise=noise)
+    (q,) = mlp_apply(spec, params, states, key, noise=noise)
     return q
 
 
@@ -106,25 +112,27 @@ def make_learn_step(
     own PER priorities).  The returned function is then *not* jitted.
     """
 
-    def bellman_target(params, target_params, batch, key):
+    def bellman_target(params, target_params, batch, key, noise):
         r = batch["reward"]
         not_done = 1.0 - batch["done"]
         if cfg.double:
             k1, k2 = (jax.random.split(key) if key is not None else (None, None))
-            q_local = q_values(cfg, spec, params, batch["next_state"], k1)
-            q_target = q_values(cfg, spec, target_params, batch["next_state"], k2)
+            n1, n2 = (noise if noise is not None else (None, None))
+            q_local = q_values(cfg, spec, params, batch["next_state"], k1, noise=n1)
+            q_target = q_values(cfg, spec, target_params, batch["next_state"], k2, noise=n2)
             idx = jnp.argmax(q_local, axis=-1)
             bootstrap = onehot_select(q_target, idx)  # gather-free on TPU
         else:
-            q_next = q_values(cfg, spec, params, batch["next_state"], key)
+            n1 = noise[0] if noise is not None else None
+            q_next = q_values(cfg, spec, params, batch["next_state"], key, noise=n1)
             bootstrap = jnp.max(q_next, axis=-1)
         return r + (gamma**cfg.n_steps) * bootstrap * not_done
 
-    def loss_fn(params, target_params, batch, key_eval, key_tgt):
-        q = q_values(cfg, spec, params, batch["state"], key_eval)
+    def loss_fn(params, target_params, batch, key_eval, key_tgt, noise_eval, noise_tgt):
+        q = q_values(cfg, spec, params, batch["state"], key_eval, noise=noise_eval)
         q_eval = onehot_select(q, batch["action"])
         q_target = jax.lax.stop_gradient(
-            bellman_target(params, target_params, batch, key_tgt)
+            bellman_target(params, target_params, batch, key_tgt, noise_tgt)
         )
         err = q_eval - q_target
         if cfg.per:
@@ -133,13 +141,20 @@ def make_learn_step(
             loss = jnp.mean(err**2)
         return loss, (jnp.abs(err), q_target)
 
-    def learn_step(params, target_params, opt_state, batch, do_soft_update, key):
-        if cfg.noisy:
+    def learn_step(params, target_params, opt_state, batch, do_soft_update, key, noise=None):
+        # ``noise``: optional precomputed (noise_eval, noise_tgt) replacing
+        # the in-step key-derived draws bit-for-bit (see learn_noise below).
+        if cfg.noisy and noise is not None:
+            key_eval = key_tgt = None
+            noise_eval, noise_tgt = noise
+        elif cfg.noisy:
             key_eval, key_tgt = jax.random.split(key)
+            noise_eval = noise_tgt = None
         else:
             key_eval = key_tgt = None
+            noise_eval = noise_tgt = None
         (loss, (abs_err, q_target)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, target_params, batch, key_eval, key_tgt
+            params, target_params, batch, key_eval, key_tgt, noise_eval, noise_tgt
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -154,6 +169,26 @@ def make_learn_step(
         return params, target_params, opt_state, loss, abs_err, q_target
 
     return learn_step if axis_name is not None else jax.jit(learn_step)
+
+
+def learn_noise(cfg: DQNConfig, spec: MLPSpec, key):
+    """Precompute the noise ``make_learn_step`` would draw from ``key``.
+
+    Exactly mirrors the in-step derivation (split into eval/target keys,
+    double-DQN splits the target key again), so passing the result as the
+    step's ``noise`` argument is bit-identical to passing ``key``.  Vmap over
+    stacked keys to batch all of a cycle's update draws into one pass.
+    """
+    from ..nets import draw_mlp_noise
+
+    key_eval, key_tgt = jax.random.split(key)
+    noise_eval = draw_mlp_noise(spec, key_eval)
+    if cfg.double:
+        k1, k2 = jax.random.split(key_tgt)
+        noise_tgt = (draw_mlp_noise(spec, k1), draw_mlp_noise(spec, k2))
+    else:
+        noise_tgt = (draw_mlp_noise(spec, key_tgt),)
+    return noise_eval, noise_tgt
 
 
 class DQNAgent(Agent):

@@ -1,6 +1,7 @@
 from .cnn import CNNSpec, cnn_apply, cnn_init
 from .mlp import (
     MLPSpec,
+    draw_mlp_noise,
     dueling_apply,
     linear_apply,
     linear_init,
@@ -16,6 +17,7 @@ __all__ = [
     "cnn_apply",
     "cnn_init",
     "MLPSpec",
+    "draw_mlp_noise",
     "dueling_apply",
     "linear_apply",
     "linear_init",

@@ -107,23 +107,40 @@ def noisy_linear_init(
     return params
 
 
+def _factorized_noise(key: jax.Array, in_dim: int, out_dim: int) -> dict:
+    """The factorized noise pair exactly as :func:`noisy_linear_apply` draws it."""
+    ki, ko = jax.random.split(key)
+    f = lambda v: jnp.sign(v) * jnp.sqrt(jnp.abs(v))
+    return {
+        "eps_in": f(jax.random.normal(ki, (in_dim, 1))),
+        "eps_out": f(jax.random.normal(ko, (1, out_dim))),
+    }
+
+
 def noisy_linear_apply(
     params: dict, x: jnp.ndarray, key: Optional[jax.Array], factorized: bool = True,
-    dtype: Optional[str] = None,
+    dtype: Optional[str] = None, noise: Optional[dict] = None,
 ) -> jnp.ndarray:
-    """Noisy forward pass; ``key=None`` silences the noise (deterministic eval)."""
+    """Noisy forward pass; ``key=None`` silences the noise (deterministic eval).
+
+    ``noise`` (a :func:`_factorized_noise` dict) substitutes precomputed noise
+    for in-line key draws -- bit-identical values when the dict was drawn from
+    the key this call would have used (lets callers batch the threefry work
+    for many forwards into one draw off the critical path).
+    """
     w, b = params["w"], params["b"]
-    if key is None:
+    if key is None and noise is None:
         return _mm(x, w, dtype) + b
 
     in_dim, out_dim = w.shape
-    if factorized:
-        ki, ko = jax.random.split(key)
-        f = lambda v: jnp.sign(v) * jnp.sqrt(jnp.abs(v))
-        eps_in = f(jax.random.normal(ki, (in_dim, 1)))
-        eps_out = f(jax.random.normal(ko, (1, out_dim)))
-        w_noise = eps_in * eps_out                     # rank-1 factorized noise
+    if noise is not None:
+        eps_in, eps_out = noise["eps_in"], noise["eps_out"]
+        w_noise = eps_in * eps_out
         b_noise = eps_out[0]
+    elif factorized:
+        nz = _factorized_noise(key, in_dim, out_dim)
+        w_noise = nz["eps_in"] * nz["eps_out"]         # rank-1 factorized noise
+        b_noise = nz["eps_out"][0]
     else:
         kw, kb = jax.random.split(key)
         w_noise = jax.random.normal(kw, (in_dim, out_dim))
@@ -151,43 +168,67 @@ def mlp_init(key: jax.Array, spec: MLPSpec) -> dict:
     return {"trunk": layers[:n_trunk], "heads": layers[n_trunk:]}
 
 
+def draw_mlp_noise(spec: MLPSpec, key: jax.Array) -> list:
+    """Precompute the per-layer factorized noise :func:`mlp_apply` would draw.
+
+    Exactly replicates the in-apply key schedule (one split into n_layers
+    keys, then one factorized draw per layer), so
+    ``mlp_apply(spec, p, x, noise=draw_mlp_noise(spec, k))`` is bit-identical
+    to ``mlp_apply(spec, p, x, key=k)``.  Vmap over stacked keys to batch the
+    threefry work for many forwards into one dispatch-free pass.
+    """
+    sizes = spec.layer_sizes
+    keys = jax.random.split(key, len(sizes))
+    return [_factorized_noise(k, i, o) for k, (i, o) in zip(keys, sizes)]
+
+
 def mlp_apply(
-    spec: MLPSpec, params: dict, x: jnp.ndarray, key: Optional[jax.Array] = None
+    spec: MLPSpec, params: dict, x: jnp.ndarray, key: Optional[jax.Array] = None,
+    noise: Optional[list] = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Forward pass; returns one output per head.
 
     For noisy specs, fresh noise is drawn per layer from ``key`` (pass ``None``
-    to run the mean network).  Accepts ``[..., input_size]`` batches.
+    to run the mean network), or supplied precomputed via ``noise``
+    (:func:`draw_mlp_noise`).  Accepts ``[..., input_size]`` batches.
     """
     act = _activation(spec.activation)
     n_layers = len(params["trunk"]) + len(params["heads"])
-    if spec.noisy and key is not None:
+    if spec.noisy and noise is not None:
+        keys = [None] * n_layers
+        noises = list(noise)
+    elif spec.noisy and key is not None:
         keys = list(jax.random.split(key, n_layers))
+        noises = [None] * n_layers
     else:
         keys = [None] * n_layers
+        noises = [None] * n_layers
 
     dtype = spec.compute_dtype
     apply = (
-        (lambda p, v, k: noisy_linear_apply(p, v, k, factorized=True, dtype=dtype))
+        (lambda p, v, k, nz: noisy_linear_apply(p, v, k, factorized=True, dtype=dtype, noise=nz))
         if spec.noisy
-        else (lambda p, v, k: linear_apply(p, v, dtype=dtype))
+        else (lambda p, v, k, nz: linear_apply(p, v, dtype=dtype))
     )
 
     h = x
-    for p, k in zip(params["trunk"], keys):
-        h = act(apply(p, h, k))
+    for p, k, nz in zip(params["trunk"], keys, noises):
+        h = act(apply(p, h, k, nz))
+    n_trunk = len(params["trunk"])
     outs = tuple(
-        apply(p, h, k) for p, k in zip(params["heads"], keys[len(params["trunk"]) :])
+        apply(p, h, k, nz)
+        for p, k, nz in zip(params["heads"], keys[n_trunk:], noises[n_trunk:])
     )
     return outs
 
 
 def dueling_apply(
-    spec: MLPSpec, params: dict, x: jnp.ndarray, key: Optional[jax.Array] = None
+    spec: MLPSpec, params: dict, x: jnp.ndarray, key: Optional[jax.Array] = None,
+    noise: Optional[list] = None,
 ) -> jnp.ndarray:
     """Dueling aggregation ``Q = V + (A - mean(A))`` (reference nets.py:135-144).
 
     ``spec.head_sizes`` must be ``(1, num_actions)``.
     """
-    v, a = mlp_apply(spec, params, x, key)
+    v, a = mlp_apply(spec, params, x, key, noise=noise)
     return v + (a - jnp.mean(a, axis=-1, keepdims=True))

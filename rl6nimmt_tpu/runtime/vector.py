@@ -425,11 +425,13 @@ def make_dqn_selfplay_step(
     T = cfg.max_turns
     n = dqn_cfg.n_steps
 
-    def act(params, obs, masks, hands_sorted, key, eps):
+    def act(params, obs, masks, hands_sorted, key, eps, noise=None):
         # obs [G, P, S] -> actions [G, P]
         noise_key, eps_key, rand_key = jax.random.split(key, 3)
         q = q_values(
-            dqn_cfg, spec, params, obs, noise_key if dqn_cfg.noisy else None
+            dqn_cfg, spec, params, obs,
+            noise_key if (dqn_cfg.noisy and noise is None) else None,
+            noise=noise,
         )
         greedy = jnp.argmax(jnp.where(masks, q, NEG_INF), axis=-1)
         if dqn_cfg.noisy:
@@ -444,19 +446,40 @@ def make_dqn_selfplay_step(
         return jnp.where(explore, uniform, greedy).astype(jnp.int32)
 
     def rollout(params, key, eps):
+        from ..nets import draw_mlp_noise
+
         key, deal_key = jax.random.split(key)
         state = deal_batch(jax.random.split(deal_key, num_games))
 
-        def turn(carry, t):
-            state, key = carry
-            key, sub = jax.random.split(key)
-            obs, masks = observe_batch(state)
-            actions = act(params, obs, masks, state.hands_sorted, sub, eps)
-            state, rewards = step_batch(state, actions)
-            return (state, key), (obs, actions, rewards.astype(jnp.float32))
+        # Pre-derive the per-turn key chain (bit-identical to splitting
+        # inside the scan) so the noisy-net threefry draws batch into ONE
+        # vectorized pass OFF the turn-to-turn critical path -- the in-scan
+        # derivation serialized ~10 tiny RNG ops per turn behind the env
+        # step chain (~0.3 ms/cycle at G=4096 on v5e).
+        def chain(k, _):
+            k, sub = jax.random.split(k)
+            return k, sub
 
-        (state, _), (obs, actions, rewards) = lax.scan(
-            turn, (state, key), jnp.arange(T)
+        _, subs = lax.scan(chain, key, jnp.arange(T))
+        if dqn_cfg.noisy:
+            noise_keys = jax.vmap(lambda s: jax.random.split(s, 3)[0])(subs)
+            turn_noise = jax.vmap(lambda nk: draw_mlp_noise(spec, nk))(noise_keys)
+        else:
+            turn_noise = jax.vmap(lambda s: jnp.zeros((), jnp.float32))(subs)
+
+        def turn(carry, xs):
+            state = carry
+            sub, noise = xs
+            obs, masks = observe_batch(state)
+            actions = act(
+                params, obs, masks, state.hands_sorted, sub, eps,
+                noise=noise if dqn_cfg.noisy else None,
+            )
+            state, rewards = step_batch(state, actions)
+            return state, (obs, actions, rewards.astype(jnp.float32))
+
+        state, (obs, actions, rewards) = lax.scan(
+            turn, state, (subs, turn_noise)
         )
         # next_obs[t] = s_{t+1}; the last slot is the TRUE terminal
         # observation s_T (post-game state), which the reference's n-step
@@ -505,7 +528,7 @@ def make_dqn_selfplay_step(
     learn_step = make_learn_step(dqn_cfg, spec, optimizer, gamma, axis_name=axis_name)
 
     def learn_once(carry, xs):
-        t, key = xs
+        t, key, noise = xs
         params, target_params, opt_state, buf = carry
         sample_key, learn_key = jax.random.split(key)
         if dqn_cfg.per:
@@ -520,13 +543,16 @@ def make_dqn_selfplay_step(
         # retrain_interval, the default) for the exact host cadence.
         do_soft = (t % dqn_cfg.retrain_interval) == 0
         params, target_params, opt_state, loss, abs_err, _ = learn_step(
-            params, target_params, opt_state, batch, do_soft, learn_key
+            params, target_params, opt_state, batch, do_soft, learn_key,
+            noise=noise if dqn_cfg.noisy else None,
         )
         if dqn_cfg.per:
             buf = per_update(buf, idx, abs_err)
         return (params, target_params, opt_state, buf), loss
 
     def cycle(params, target_params, opt_state, buf, key, eps, step0=0):
+        from ..agents.dqn import learn_noise
+
         roll_key, learn_key = jax.random.split(key)
         obs, actions, rewards, next_obs, scores = rollout(params, roll_key, eps)
         transitions = to_transitions(obs, actions, rewards, next_obs)
@@ -534,10 +560,19 @@ def make_dqn_selfplay_step(
             buf = per_add_batch(buf, transitions)
         else:
             buf = ring_add_batch(buf, transitions)
+        learn_keys = jax.random.split(learn_key, learn_iters)
+        if dqn_cfg.noisy:
+            # Batch every update's noisy draws into one pass (bit-identical
+            # to the per-iteration in-step derivation, see agents.dqn).
+            iter_noise = jax.vmap(
+                lambda k: learn_noise(dqn_cfg, spec, jax.random.split(k)[1])
+            )(learn_keys)
+        else:
+            iter_noise = jnp.zeros((learn_iters,), jnp.float32)
         (params, target_params, opt_state, buf), losses = lax.scan(
             learn_once,
             (params, target_params, opt_state, buf),
-            (step0 + jnp.arange(learn_iters), jax.random.split(learn_key, learn_iters)),
+            (step0 + jnp.arange(learn_iters), learn_keys, iter_noise),
         )
         mean_score = jnp.mean(scores.astype(jnp.float32))
         if axis_name is not None:

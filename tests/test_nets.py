@@ -122,3 +122,55 @@ def test_normalize_state_with_action_prefix():
     x[0] = 103  # action card id
     y = np.asarray(normalize_state(jnp.asarray(x), action=True))
     np.testing.assert_allclose(y[0], 1.0, rtol=1e-6)
+
+
+def test_precomputed_noise_matches_key_draws():
+    """draw_mlp_noise/learn_noise reproduce the in-apply key schedule: the
+    noise VALUES are bit-identical to what mlp_apply/make_learn_step would
+    draw from the same key (the consuming arithmetic may refuse by one ulp
+    across program structures on some backends; on TPU the full DQN cycle is
+    pinned bit-identical by bench.py's chained-vs-sequential guard)."""
+    import jax
+    import optax
+
+    from rl6nimmt_tpu.agents.dqn import DQNConfig, learn_noise, q_network_spec
+    from rl6nimmt_tpu.nets import MLPSpec, draw_mlp_noise
+    from rl6nimmt_tpu.nets.mlp import _factorized_noise
+
+    spec = MLPSpec(input_size=7, hidden_sizes=(5,), head_sizes=(1, 4), noisy=True)
+    key = jax.random.key(3)
+    noise = draw_mlp_noise(spec, key)
+    keys = jax.random.split(key, len(spec.layer_sizes))
+    for nz, k, (i, o) in zip(noise, keys, spec.layer_sizes):
+        ref = _factorized_noise(k, i, o)
+        np.testing.assert_array_equal(np.asarray(nz["eps_in"]), np.asarray(ref["eps_in"]))
+        np.testing.assert_array_equal(np.asarray(nz["eps_out"]), np.asarray(ref["eps_out"]))
+        assert nz["eps_in"].shape == (i, 1) and nz["eps_out"].shape == (1, o)
+
+    # learn_noise mirrors make_learn_step's split schedule (eval/target,
+    # double splits target again) and the noise-path step runs finite.
+    cfg = DQNConfig(double=True, dueling=True, noisy=True, hidden_sizes=(5,))
+    qspec = q_network_spec(cfg, 7, 11)
+    from rl6nimmt_tpu.agents.dqn import make_learn_step
+    from rl6nimmt_tpu.nets import mlp_init
+
+    params = mlp_init(jax.random.key(0), qspec)
+    target = jax.tree.map(jnp.array, params)
+    opt = optax.adam(1e-3)
+    step = make_learn_step(cfg, qspec, opt, gamma=0.99)
+    batch = {
+        "state": jnp.ones((4, 7)),
+        "action": jnp.zeros((4,), jnp.int32),
+        "reward": jnp.ones((4,)),
+        "next_state": jnp.ones((4, 7)),
+        "done": jnp.zeros((4,)),
+        "weights": jnp.ones((4,)),
+    }
+    lk = jax.random.key(9)
+    p1, t1, o1, loss1, _, _ = step(params, target, opt.init(params), batch, True, lk)
+    nz = learn_noise(cfg, qspec, lk)
+    p2, t2, o2, loss2, _, _ = step(params, target, opt.init(params), batch, True, lk, noise=nz)
+    # Same noise values -> same update up to backend fusion round-off.
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
