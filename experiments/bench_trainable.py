@@ -132,7 +132,7 @@ def bench_dqn(cfg, G, key, per=True, chain=1, dtype="float32"):
     return time_cycles(fn, args)
 
 
-def bench_acer(cfg, G, key, chain=1, dtype="float32"):
+def bench_acer(cfg, G, key, chain=1, dtype="float32", on_policy=None):
     from rl6nimmt_tpu.runtime.vector import make_acer_selfplay_step
 
     spec = MLPSpec(input_size=1 + cfg.state_length, hidden_sizes=(100, 100),
@@ -149,7 +149,9 @@ def bench_acer(cfg, G, key, chain=1, dtype="float32"):
         "done": jnp.zeros(()),
     }
     buf = seq_init(65536, cfg.max_turns, example)
-    cycle = make_acer_selfplay_step(cfg, spec, optimizer, G, minibatch=512)
+    cycle = make_acer_selfplay_step(
+        cfg, spec, optimizer, G, minibatch=512, on_policy_sequences=on_policy
+    )
 
     def multi(params, opt_state, buf, key):
         def body(c, k):
@@ -182,6 +184,9 @@ def main():
                         choices=["float32", "bfloat16"],
                         help="policy matmul compute dtype (bfloat16 feeds the "
                              "MXU at full rate; f32 params/accumulation)")
+    parser.add_argument("--acer-on-policy", type=int, default=None,
+                        help="subsample the ACER on-policy phase to this many "
+                             "fresh sequences (default: all G*P)")
     args = parser.parse_args()
 
     cfg = EnvConfig(num_players=4)
@@ -191,11 +196,14 @@ def main():
 
     benches = {"reinforce": bench_reinforce, "dqn": bench_dqn, "acer": bench_acer}
     for name in args.learners.split(","):
-        sec = benches[name](cfg, G, key, chain=args.chain, dtype=args.dtype)
+        kw = {"on_policy": args.acer_on_policy} if name == "acer" else {}
+        sec = benches[name](cfg, G, key, chain=args.chain, dtype=args.dtype, **kw)
         print(json.dumps({
             "metric": f"trainable env-steps/s @ {G} games ({name} selfplay+update cycle"
                       + (f", {args.chain} chained" if args.chain > 1 else "")
-                      + (", bf16" if args.dtype == "bfloat16" else "") + ")",
+                      + (", bf16" if args.dtype == "bfloat16" else "")
+                      + (f", on-policy {args.acer_on_policy}" if name == "acer" and args.acer_on_policy else "")
+                      + ")",
             "value": round(steps_per_call / sec, 1),
             "unit": "steps/s",
             "seconds_per_cycle": round(sec / args.chain, 4),

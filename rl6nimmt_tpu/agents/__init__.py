@@ -19,7 +19,14 @@ from .dqn import (
     Noisy_DQN,
 )
 from .human import Human
-from .mcs import BaseMCAgent, MCSAgent, PolicyMCSAgent, PUCTAgent, PUCTCustomedAgent
+from .mcs import (
+    BaseMCAgent,
+    MCSAgent,
+    PolicyMCSAgent,
+    PUCTAgent,
+    PUCTCustomedAgent,
+    PUCTUniformAgent,
+)
 from .random_agent import DrunkHamster
 from .reinforce import BatchedReinforceAgent, MaskedReinforceAgent
 
@@ -42,6 +49,10 @@ NOISY_D3QN = "noisy_d3qn"
 MCS = "mcts"
 PMCS = "pmcs"
 PUCT = "puct"
+# Framework-original (no reference analog): decoupled Alpha0.5, net prior at
+# the root only (see agents.mcs.PUCTUniformAgent).  Extends the reference's
+# 19-key registry; every reference key keeps its exact meaning.
+PUCT_UNIFORM = "puct_uniform"
 
 AGENTS = {
     HUMAN: Human,
@@ -63,6 +74,7 @@ AGENTS = {
     MCS: MCSAgent,
     PMCS: PolicyMCSAgent,
     PUCT: PUCTAgent,
+    PUCT_UNIFORM: PUCTUniformAgent,
 }
 
 POLICY_METHODS = [REINFORCE, ACER]
@@ -98,4 +110,5 @@ __all__ = [
     "PolicyMCSAgent",
     "PUCTAgent",
     "PUCTCustomedAgent",
+    "PUCTUniformAgent",
 ]

@@ -275,6 +275,10 @@ def _make_decide(
 
 
 KIND_RANDOM, KIND_UNIFORM, KIND_POLICY, KIND_PUCT = 0, 1, 2, 3
+# Decoupled Alpha0.5 (net ROOT prior, uniform playouts -- agents.mcs
+# .PUCTUniformAgent).  Ordered after the net-prior kinds so `kind >=
+# KIND_POLICY` still means "root prior from the net".
+KIND_PUCT_UNIFORM = 4
 
 
 @functools.lru_cache(maxsize=None)
@@ -283,7 +287,8 @@ def _make_decide_unified(cfg: EnvConfig, spec: MLPSpec, max_n_mc: int, batch: in
 
     Same decision semantics as :func:`_make_decide`, but the root kind
     (``KIND_RANDOM`` DrunkHamster / ``KIND_UNIFORM`` MCS / ``KIND_POLICY``
-    PolicyMCS / ``KIND_PUCT`` Alpha0.5) arrives as a traced int32 and
+    PolicyMCS / ``KIND_PUCT`` Alpha0.5 / ``KIND_PUCT_UNIFORM`` decoupled
+    Alpha0.5 with net root + uniform playouts) arrives as a traced int32 and
     ``c_puct`` as a traced float, so heterogeneous tournament rosters share
     ONE compiled program per (players, spec, mc_max ceiling, batch) instead
     of one per roster combination — the compile count that matters when every
@@ -310,7 +315,8 @@ def _make_decide_unified(cfg: EnvConfig, spec: MLPSpec, max_n_mc: int, batch: in
         board = board.astype(jnp.int32)
         row_len = row_len.astype(jnp.int32)
         valid = my_hand >= 0
-        net_root = kind >= KIND_POLICY  # policy/puct evaluate the prior net
+        net_root = kind >= KIND_POLICY  # policy/puct/puct_uniform: net prior
+        net_playout = (kind == KIND_POLICY) | (kind == KIND_PUCT)
         logp_net = jax.nn.log_softmax(
             action_in_input_logits(spec, params, obs, my_hand)
         )
@@ -341,7 +347,9 @@ def _make_decide_unified(cfg: EnvConfig, spec: MLPSpec, max_n_mc: int, batch: in
                 axis=-1,
             ).astype(jnp.int32)
             pucts = puct_select(q, probs, act_cnt, valid, active, c_puct)
-            firsts = jnp.where(kind == KIND_PUCT, pucts, samp)
+            firsts = jnp.where(
+                (kind == KIND_PUCT) | (kind == KIND_PUCT_UNIFORM), pucts, samp
+            )
 
             deal_keys = jax.random.split(k_deal, K)
             opp = jax.vmap(lambda k: deal_opponents(avail, k, P - 1, n, H))(deal_keys)
@@ -350,7 +358,7 @@ def _make_decide_unified(cfg: EnvConfig, spec: MLPSpec, max_n_mc: int, batch: in
             )(opp)
             play_keys = jax.random.split(k_play, K)
             rets = jax.vmap(single, in_axes=(None, 0, 0, None, 0, None))(
-                params, states0, my_hand[firsts], n_turns, play_keys, net_root
+                params, states0, my_hand[firsts], n_turns, play_keys, net_playout
             )
 
             idx = r * K + jnp.arange(K)

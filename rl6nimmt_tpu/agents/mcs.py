@@ -571,6 +571,25 @@ class PUCTAgent(PolicyMCSAgent):
         raise NotImplementedError("visit-count temperature sampling (parity: mcts.py:318-323)")
 
 
+class PUCTUniformAgent(PUCTAgent):
+    """Decoupled Alpha0.5: the net drives the PUCT ROOT prior only; the
+    determinized playouts stay uniform.
+
+    This framework-original variant (no reference analog) separates the
+    prior's two roles — root exploration vs playout opponent model — whose
+    coupling was diagnosed as the reason trained priors lose strength in
+    standard Alpha0.5 (RESULTS.md rounds 2-3).  Measured at 10,240
+    games/cell (`experiments/results/prior_decoupled_r3.json`): with a
+    trained prior it wins 0.539 ± 0.005 vs a fresh prior at mc_max=8 (and
+    the architecture alone is strength-neutral, 0.506 ± 0.005 vs standard
+    Alpha0.5).  Self-imitation learning, root semantics, and the device
+    decision path are all inherited from :class:`PUCTAgent`; only the
+    playout policy differs.
+    """
+
+    playout_policy = "uniform"
+
+
 class PUCTCustomedAgent(PUCTAgent):
     """Playout-free PUCT variant with a (pi, V) net (mcts.py:325-451)."""
 

@@ -147,12 +147,13 @@ def play_callback_game(
     """Play one human-vs-device game; returns final scores (seat 0 = human).
 
     ``opponents`` are kinds per AI seat: "random" / "uniform" (MCS) /
-    "policy" / "puct".  ``params`` is one prior-net pytree shared by all
+    "policy" / "puct" / "puct_uniform".  ``params`` is one prior-net pytree shared by all
     policy/puct seats (fresh-initialized when None).
     """
     from ..agents.device_search import (
         KIND_POLICY,
         KIND_PUCT,
+        KIND_PUCT_UNIFORM,
         KIND_UNIFORM,
     )
     from ..nets import mlp_init
@@ -163,6 +164,7 @@ def play_callback_game(
         "uniform": KIND_UNIFORM,
         "policy": KIND_POLICY,
         "puct": KIND_PUCT,
+        "puct_uniform": KIND_PUCT_UNIFORM,
     }
     P = 1 + len(opponents)
     cfg = EnvConfig(num_players=P)

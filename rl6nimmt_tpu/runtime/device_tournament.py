@@ -57,6 +57,7 @@ from jax import lax
 from ..agents.device_search import (
     KIND_POLICY,
     KIND_PUCT,
+    KIND_PUCT_UNIFORM,
     KIND_RANDOM,
     KIND_UNIFORM,
     _make_decide_unified,
@@ -65,16 +66,22 @@ from ..agents.device_search import (
 )
 from ..agents.acer import BatchedACERAgent
 from ..agents.dqn import DQNAgent
-from ..agents.mcs import MCSAgent, PolicyMCSAgent, PUCTAgent, PUCTCustomedAgent
+from ..agents.mcs import (
+    MCSAgent,
+    PolicyMCSAgent,
+    PUCTAgent,
+    PUCTCustomedAgent,
+    PUCTUniformAgent,
+)
 from ..agents.random_agent import DrunkHamster
 from ..agents.reinforce import BatchedReinforceAgent, MaskedReinforceAgent
 from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
 from ..nets import MLPSpec, mlp_init
 
-# Traced seat kinds 0-3 are the search families (device_search.KIND_*);
-# learner seats get 4 + (index into the program's static LearnerSlot tuple).
-KIND_LEARNER_BASE = 4
+# Traced seat kinds 0-4 are the search families (device_search.KIND_*);
+# learner seats get 8 + (index into the program's static LearnerSlot tuple).
+KIND_LEARNER_BASE = 8
 
 
 @dataclass(frozen=True)
@@ -348,7 +355,7 @@ def seat_kind(agent) -> Optional[int]:
             # would silently change that cadence vs the host path (uniform/
             # policy roots are round-agnostic, so only PUCT is restricted).
             return None
-        return KIND_PUCT
+        return KIND_PUCT_UNIFORM if isinstance(agent, PUCTUniformAgent) else KIND_PUCT
     if isinstance(agent, PolicyMCSAgent):
         return KIND_POLICY
     if isinstance(agent, MCSAgent):
@@ -408,7 +415,7 @@ def lineup_signature(agents) -> Optional[tuple]:
         if role == "search":
             if what != KIND_RANDOM:
                 dims.add(_seat_dims(agent, role))
-            if what in (KIND_POLICY, KIND_PUCT):
+            if what in (KIND_POLICY, KIND_PUCT, KIND_PUCT_UNIFORM):
                 specs.add(agent.spec)
         else:
             dims.add(_seat_dims(agent, role))
@@ -544,7 +551,7 @@ class DeviceBlockSession:
                         mc_maxes[g, p] = agent.mc_max
                         mc_pers[g, p] = agent.mc_per_card
                     c_pucts[g, p] = float(getattr(agent, "c_puct", 0.0) or 0.0)
-                    if what in (KIND_POLICY, KIND_PUCT):
+                    if what in (KIND_POLICY, KIND_PUCT, KIND_PUCT_UNIFORM):
                         params = agent.params
                 else:
                     s = slot_index[what]

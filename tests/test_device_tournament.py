@@ -19,12 +19,13 @@ import pytest
 from rl6nimmt_tpu.agents.device_search import (
     KIND_POLICY,
     KIND_PUCT,
+    KIND_PUCT_UNIFORM,
     KIND_RANDOM,
     KIND_UNIFORM,
     make_device_decision_fn,
     make_unified_decision_fn,
 )
-from rl6nimmt_tpu.agents.mcs import MCSAgent, PUCTAgent
+from rl6nimmt_tpu.agents.mcs import MCSAgent, PUCTAgent, PUCTUniformAgent
 from rl6nimmt_tpu.agents.random_agent import DrunkHamster
 from rl6nimmt_tpu.engine.env import deal, observe
 from rl6nimmt_tpu.engine.state import EnvConfig
@@ -67,6 +68,8 @@ def _root_inputs(cfg, seed=0):
         ("uniform", KIND_UNIFORM, "uniform"),
         ("policy", KIND_POLICY, "net"),
         ("puct", KIND_PUCT, "net"),
+        # Decoupled Alpha0.5: net ROOT prior, uniform playouts.
+        ("puct", KIND_PUCT_UNIFORM, "uniform"),
     ],
 )
 def test_unified_decide_matches_static(root, kind, playout):
@@ -77,7 +80,9 @@ def test_unified_decide_matches_static(root, kind, playout):
     key = jax.random.key(42)
 
     static = make_device_decision_fn(
-        cfg, playout, spec if playout == "net" else None, root, MC_MAX, BATCH, 2.0
+        cfg, playout,
+        spec if (playout == "net" or root != "uniform") else None,
+        root, MC_MAX, BATCH, 2.0,
     )
     unified = make_unified_decision_fn(cfg, spec, MC_MAX, BATCH)
     a_ref, lp_ref = static(params, board, row_len, my_hand, n, n_mc, avail, obs, key)
@@ -152,6 +157,8 @@ def test_seat_kind_and_eligibility():
     assert seat_kind(DrunkHamster()) == KIND_RANDOM
     assert seat_kind(MCSAgent(mc_max=4)) == KIND_UNIFORM
     assert seat_kind(PUCTAgent(mc_max=4)) == KIND_PUCT
+    assert seat_kind(PUCTUniformAgent(mc_max=4)) == KIND_PUCT_UNIFORM
+    assert device_lineup_eligible([DrunkHamster(), PUCTUniformAgent(mc_max=4)])
 
     from rl6nimmt_tpu.agents.dqn import DQNVanilla
     from rl6nimmt_tpu.agents.human import Human
