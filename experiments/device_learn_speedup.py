@@ -1,0 +1,113 @@
+"""Steady-state speedup of device-side learner updates (VERDICT r2 #2).
+
+Runs the SAME learner-heavy tournament protocol twice -- host learn replay
+(the round-2 default) vs ``device_learning=True`` (fused per-agent device
+replay programs) -- and reports wall-clock per block plus the
+assemble/device/replay split from ``DeviceBlockSession.timings``.
+
+Population: two DQN-lattice learners (vanilla + the flagship noisy D3QN),
+ACER, action-in-input REINFORCE, and a DrunkHamster; 2-4 players per game
+drawn like the reference protocol.  Learner-heavy by construction: >=3 of
+every 4 seats train every game.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import rl6nimmt_tpu
+
+rl6nimmt_tpu.enable_compilation_cache()
+
+
+def build_tournament():
+    from rl6nimmt_tpu.agents import BatchedACERAgent, BatchedReinforceAgent, DrunkHamster
+    from rl6nimmt_tpu.agents.dqn import DQNVanilla, Noisy_D3QN_PRB_NStep
+    from rl6nimmt_tpu.tournament import Tournament
+
+    t = Tournament(min_players=2, max_players=4)
+    agents = {
+        "dqn": DQNVanilla(seed=11, minibatch=64),
+        "d3qn": Noisy_D3QN_PRB_NStep(seed=12, minibatch=64, n_steps=10,
+                                     history_length=100_000),
+        "acer": BatchedACERAgent(seed=13, warmup=100, minibatch=5),
+        "reinforce": BatchedReinforceAgent(seed=14),
+        "random": DrunkHamster(seed=15),
+    }
+    for name, agent in agents.items():
+        if name != "random":
+            agent.train()
+        t.add_player(name, agent)
+    return t
+
+
+def run(device_learning: bool, games: int, block: int, seed: int):
+    from rl6nimmt_tpu.runtime import device_tournament as DT
+
+    np.random.seed(seed)
+    t = build_tournament()
+    # aggregate session timings across blocks by patching play()
+    splits = {"assemble_s": 0.0, "device_s": 0.0, "replay_s": 0.0}
+    orig_play = DT.DeviceBlockSession.play
+
+    def play(self):
+        out = orig_play(self)
+        for k in splits:
+            splits[k] += self.timings.get(k, 0.0)
+        return out
+
+    DT.DeviceBlockSession.play = play
+    try:
+        # Warmup block (compiles) then timed blocks.
+        t.play_device_block(block, device_learning=device_learning)
+        for k in splits:
+            splits[k] = 0.0
+        start = time.perf_counter()
+        played = block
+        while played < games:
+            t.play_device_block(block, device_learning=device_learning)
+            played += block
+        wall = time.perf_counter() - start
+    finally:
+        DT.DeviceBlockSession.play = orig_play
+    return {
+        "device_learning": device_learning,
+        "games": played - block,
+        "wall_s": round(wall, 2),
+        "ms_per_game": round(wall / (played - block) * 1e3, 2),
+        "splits_s": {k: round(v, 2) for k, v in splits.items()},
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--games", type=int, default=1000)
+    parser.add_argument("--block", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", default="experiments/results/device_learn_speedup.json")
+    args = parser.parse_args()
+
+    results = {}
+    for dl in (False, True):
+        label = "device" if dl else "host"
+        print(f"=== {label} learning: {args.games} games ===", flush=True)
+        results[label] = run(dl, args.games, args.block, args.seed)
+        print(json.dumps(results[label]), flush=True)
+
+    results["speedup"] = round(
+        results["host"]["wall_s"] / results["device"]["wall_s"], 3
+    )
+    print(json.dumps({"speedup_host_over_device": results["speedup"]}))
+    Path(args.out).write_text(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
