@@ -54,7 +54,7 @@ def time_cycles(fn, args_fn, iters=8, warmup=2):
     return sorted(times)[len(times) // 2]
 
 
-def bench_reinforce(cfg, G, key, chain=1, dtype="float32"):
+def bench_reinforce(cfg, G, key, chain=1, dtype="float32", fused=False):
     from rl6nimmt_tpu.runtime.vector import make_reinforce_train_step
 
     spec = MLPSpec(input_size=cfg.state_length + 1, hidden_sizes=(100, 100),
@@ -62,7 +62,7 @@ def bench_reinforce(cfg, G, key, chain=1, dtype="float32"):
     params = mlp_init(jax.random.key(0), spec)
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
-    train = make_reinforce_train_step(cfg, spec, optimizer, G)
+    train = make_reinforce_train_step(cfg, spec, optimizer, G, fused_grad=fused)
 
     # chain > 1: run `chain` full cycles per dispatch via lax.scan --
     # production cadence; amortizes the host->device round trip.
@@ -184,6 +184,9 @@ def main():
                         choices=["float32", "bfloat16"],
                         help="policy matmul compute dtype (bfloat16 feeds the "
                              "MXU at full rate; f32 params/accumulation)")
+    parser.add_argument("--reinforce-fused", action="store_true",
+                        help="differentiate through the rollout's own forward "
+                             "(fused_grad=True; round-off-equivalent)")
     parser.add_argument("--acer-on-policy", type=int, default=None,
                         help="subsample the ACER on-policy phase to this many "
                              "fresh sequences (default: all G*P)")
@@ -197,12 +200,15 @@ def main():
     benches = {"reinforce": bench_reinforce, "dqn": bench_dqn, "acer": bench_acer}
     for name in args.learners.split(","):
         kw = {"on_policy": args.acer_on_policy} if name == "acer" else {}
+        if name == "reinforce" and args.reinforce_fused:
+            kw["fused"] = True
         sec = benches[name](cfg, G, key, chain=args.chain, dtype=args.dtype, **kw)
         print(json.dumps({
             "metric": f"trainable env-steps/s @ {G} games ({name} selfplay+update cycle"
                       + (f", {args.chain} chained" if args.chain > 1 else "")
                       + (", bf16" if args.dtype == "bfloat16" else "")
                       + (f", on-policy {args.acer_on_policy}" if name == "acer" and args.acer_on_policy else "")
+                      + (", fused-grad" if name == "reinforce" and args.reinforce_fused else "")
                       + ")",
             "value": round(steps_per_call / sec, 1),
             "unit": "steps/s",

@@ -259,6 +259,36 @@ def test_acer_selfplay_step():
     assert float(np.asarray(metrics["mean_score"])) < 0
 
 
+def test_reinforce_fused_grad_matches_recompute_path():
+    """fused_grad=True: same trajectories (same RNG), loss and updated
+    params equal to float round-off vs the recompute path on the same key."""
+    import jax
+    from rl6nimmt_tpu.runtime.vector import make_reinforce_train_step
+
+    G = 8
+    spec = MLPSpec(input_size=1 + CFG.state_length, hidden_sizes=(16,), head_sizes=(1,))
+    params = mlp_init(jax.random.key(60), spec)
+    # SGD keeps the param delta linear in the gradient; Adam's first-step
+    # normalization would amplify round-off on near-zero gradient components
+    # to full +-lr steps (cf. test_dp_sync, reinforce_update_parity).
+    optimizer = optax.sgd(1e-2)
+    opt_state = optimizer.init(params)
+    key = jax.random.key(61)
+
+    base = make_reinforce_train_step(CFG, spec, optimizer, G)
+    fused = make_reinforce_train_step(CFG, spec, optimizer, G, fused_grad=True)
+    p1, o1, m1 = base(params, opt_state, key)
+    p2, o2, m2 = fused(params, opt_state, key)
+    np.testing.assert_allclose(
+        float(np.asarray(m1["loss"])), float(np.asarray(m2["loss"])), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m1["mean_score"]), np.asarray(m2["mean_score"])
+    )  # identical trajectories: the sampled actions match exactly
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_acer_on_policy_subsample():
     """on_policy_sequences: full-count setting is bit-identical to the
     default; a strict subsample trains on exactly the gathered subset (the
