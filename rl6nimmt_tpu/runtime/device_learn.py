@@ -83,6 +83,22 @@ def _pow2(n: int) -> int:
     return 1 << max(0, int(n) - 1).bit_length() if n > 0 else 1
 
 
+def _bucket(n: int, floor: int = 64) -> int:
+    """Round up to the factor-4 ladder {64, 256, 1024, 4096, ...}.
+
+    Replay-program shapes are bucketed COARSELY: per-agent event counts vary
+    with the lineup draw every block, and each distinct (K, M, E) shape is a
+    separate jit compile of a large scan program -- with power-of-two
+    buckets the counts straddle bucket edges block to block and the compiles
+    (seconds each over a remote-device tunnel) dominate the replay.  Padded
+    no-op scan iterations are cheap; compiles are not.
+    """
+    b = floor
+    while b < n:
+        b *= 4
+    return b
+
+
 def _opt_hparams(agent) -> Tuple[float, float, float, float]:
     """The (lr, b1, b2, eps) the agent's train() builds Adam from."""
     kw = agent.optim_kwargs
@@ -329,8 +345,10 @@ class DQNPlanner:
         st = agent._device_replay
         if not self.events:
             return
-        K, M, E = _pow2(len(self.events)), _pow2(len(self.stores)), _pow2(
-            max(len(self.keys), 1)
+        K, M, E = (
+            _bucket(len(self.events)),
+            _bucket(len(self.stores)),
+            _bucket(max(len(self.keys), 1)),
         )
         kind = np.zeros(K, np.int32)
         sel = np.zeros(K, np.int32)
@@ -498,7 +516,7 @@ class ReinforcePlanner:
         agent._episode = list(self._episode)
         if not self.batches:
             return
-        N = _pow2(len(self.batches))
+        N = _bucket(len(self.batches), floor=16)
         pad = {k: np.zeros_like(v) for k, v in self.batches[0].items()}
         batches = self.batches + [pad] * (N - len(self.batches))
         stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *batches)
@@ -710,9 +728,9 @@ class ACERPlanner:
             return
         assert not self._cur, "device-block episodes always flush at done"
         K, M, E = (
-            _pow2(len(self.events)),
-            _pow2(len(self.seqs)),
-            _pow2(max(len(self.fresh), 1)),
+            _bucket(len(self.events)),
+            _bucket(len(self.seqs)),
+            _bucket(max(len(self.fresh), 1)),
         )
         T, S, H = agent.rollout_len, agent.state_length, agent.max_num_actions
         kind = np.zeros(K, np.int32)
