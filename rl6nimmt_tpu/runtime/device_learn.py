@@ -208,8 +208,12 @@ def make_dqn_replay_fn(
 class DQNPlanner:
     """Host bookkeeping + device execution for one DQN agent's block stream."""
 
-    def __init__(self, agent: DQNAgent):
+    def __init__(self, agent: DQNAgent, hint_games: int = 0):
         assert agent.summary_writer is None, "summary_writer needs host replay"
+        # Shape hint: bucket the event stream for the block's MAXIMUM
+        # possible per-agent load (<= 20 events/game + tail margin) so the
+        # compiled program shape is independent of the lineup draw.
+        self.hint = 21 * hint_games
         self.agent = agent
         self.cfg = agent.cfg
         self.gamma = agent.gamma
@@ -314,7 +318,10 @@ class DQNPlanner:
                 )
                 self.uniforms.append(np.zeros(cfg.minibatch))
                 self.betas.append(0.0)
-            self.keys.append(agent.next_key())
+            # Store raw key DATA (host numpy): stacking hundreds of
+            # individual jax key arrays at execute() time cost seconds of
+            # trace/dispatch per block; one wrap_key_data is one op.
+            self.keys.append(np.asarray(jax.random.key_data(agent.next_key())))
             self.do_soft.append((agent.step % cfg.retrain_interval) == 0)
             self.events.append((EV_LEARN, len(self.keys) - 1))
 
@@ -345,11 +352,13 @@ class DQNPlanner:
         st = agent._device_replay
         if not self.events:
             return
-        K, M, E = (
-            _bucket(len(self.events)),
-            _bucket(len(self.stores)),
-            _bucket(max(len(self.keys), 1)),
-        )
+        # ONE bucket for all three stream axes, floored at the block-size
+        # hint: every distinct (K, M, E) combo is a separate multi-second
+        # compile over the tunnel, and per-agent counts vary with the lineup
+        # draw -- the hint makes the shape a function of the block size only.
+        B = _bucket(max(len(self.events), len(self.stores), len(self.keys),
+                        self.hint, 1))
+        K = M = E = B
         kind = np.zeros(K, np.int32)
         sel = np.zeros(K, np.int32)
         for i, (k, s) in enumerate(self.events):
@@ -361,12 +370,19 @@ class DQNPlanner:
             "next_state": np.zeros((M, agent.state_length), np.float32),
             "done": np.zeros((M,), np.float32),
         }
-        for i, exp in enumerate(self.stores):
-            stores["state"][i] = exp["state"]
-            stores["action"][i] = exp["action"]
-            stores["reward"][i] = np.float32(exp["reward"])
-            stores["next_state"][i] = exp["next_state"]
-            stores["done"][i] = np.float32(exp["done"])
+        nS = len(self.stores)
+        if nS:
+            stores["state"][:nS] = np.stack([e["state"] for e in self.stores])
+            stores["action"][:nS] = np.asarray([e["action"] for e in self.stores])
+            stores["reward"][:nS] = np.asarray(
+                [e["reward"] for e in self.stores], np.float32
+            )
+            stores["next_state"][:nS] = np.stack(
+                [e["next_state"] for e in self.stores]
+            )
+            stores["done"][:nS] = np.asarray(
+                [e["done"] for e in self.stores], np.float32
+            )
         nE = len(self.keys)
         idx = np.zeros((E, cfg.minibatch), np.int32)
         uniforms = np.zeros((E, cfg.minibatch), np.float32)
@@ -377,12 +393,15 @@ class DQNPlanner:
             uniforms[:nE] = np.stack(self.uniforms)
             betas[:nE] = np.asarray(self.betas)
             do_soft[:nE] = np.asarray(self.do_soft)
-            keys = jnp.concatenate(
-                [jnp.stack(self.keys)]
-                + ([jnp.stack([self.keys[0]] * (E - nE))] if E > nE else [])
-            )
+            key_data = np.zeros((E,) + self.keys[0].shape, self.keys[0].dtype)
+            key_data[:nE] = np.stack(self.keys)
+            key_data[nE:] = self.keys[0]
         else:
-            keys = jnp.stack([jax.random.key(0)] * E)
+            key_data = np.zeros(
+                (E,) + np.asarray(jax.random.key_data(jax.random.key(0))).shape,
+                np.uint32,
+            )
+        keys = jax.random.wrap_key_data(jnp.asarray(key_data))
         plan = {
             "kind": jnp.asarray(kind),
             "sel": jnp.asarray(sel),
@@ -407,14 +426,20 @@ class DQNPlanner:
             st["pri"],
             plan,
         )
-        agent.params = agent.host_put(params)
+        # One batched host transfer for everything the host needs (the
+        # tunnel charges a round trip per serial fetch; ~43 sequential
+        # fetches per block measured at ~84 ms each before batching).
+        fetched = jax.device_get(
+            (params, target if cfg.double else None, opt_state, ptr, size)
+        )
+        agent.params = agent.host_put(fetched[0])
         if cfg.double:
-            agent.target_params = agent.host_put(target)
-        agent.opt_state = agent.host_put(opt_state)
+            agent.target_params = agent.host_put(fetched[1])
+        agent.opt_state = agent.host_put(fetched[2])
         agent._device_replay = {
             "storage": storage,
-            "ptr": int(ptr),
-            "size": int(size),
+            "ptr": int(fetched[3]),
+            "size": int(fetched[4]),
             "pri": pri,
             "beta": self._beta,
         }
@@ -489,7 +514,8 @@ def make_reinforce_replay_fn(
 class ReinforcePlanner:
     """Episode collection + device execution for one REINFORCE agent."""
 
-    def __init__(self, agent):
+    def __init__(self, agent, hint_games: int = 0):
+        self.hint = hint_games
         self.agent = agent
         self.masked = isinstance(agent, MaskedReinforceAgent)
         self._episode: List[dict] = list(getattr(agent, "_episode", []))
@@ -516,7 +542,7 @@ class ReinforcePlanner:
         agent._episode = list(self._episode)
         if not self.batches:
             return
-        N = _bucket(len(self.batches), floor=16)
+        N = _bucket(max(len(self.batches), self.hint), floor=16)
         pad = {k: np.zeros_like(v) for k, v in self.batches[0].items()}
         batches = self.batches + [pad] * (N - len(self.batches))
         stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *batches)
@@ -533,8 +559,9 @@ class ReinforcePlanner:
             N,
         )
         params, opt_state = fn(agent.params, agent.opt_state, stacked, valid)
-        agent.params = agent.host_put(params)
-        agent.opt_state = agent.host_put(opt_state)
+        fetched = jax.device_get((params, opt_state))
+        agent.params = agent.host_put(fetched[0])
+        agent.opt_state = agent.host_put(fetched[1])
 
 
 # ============================================================== ACER replay
@@ -620,7 +647,10 @@ class ACERPlanner:
 
     FIELDS = ("state", "legal_cards", "log_probs", "action_id", "reward", "done")
 
-    def __init__(self, agent: BatchedACERAgent):
+    def __init__(self, agent: BatchedACERAgent, hint_games: int = 0):
+        # <= 2 events (store + train) per flush; flushes/game = ceil(10/rollout_len)
+        flushes = -(-10 // max(agent.rollout_len, 1))
+        self.hint = 2 * flushes * hint_games
         self.agent = agent
         self._ensure_state()
         self.seqs: List[dict] = []
@@ -727,11 +757,9 @@ class ACERPlanner:
         if not self.events:
             return
         assert not self._cur, "device-block episodes always flush at done"
-        K, M, E = (
-            _bucket(len(self.events)),
-            _bucket(len(self.seqs)),
-            _bucket(max(len(self.fresh), 1)),
-        )
+        B = _bucket(max(len(self.events), len(self.seqs), len(self.fresh),
+                        self.hint, 1))
+        K = M = E = B
         T, S, H = agent.rollout_len, agent.state_length, agent.max_num_actions
         kind = np.zeros(K, np.int32)
         sel = np.zeros(K, np.int32)
@@ -787,27 +815,33 @@ class ACERPlanner:
             jnp.asarray(st["size"], jnp.int32),
             plan,
         )
-        agent.params = agent.host_put(params)
-        agent.opt_state = agent.host_put(opt_state)
+        fetched = jax.device_get((params, opt_state, ptr, size))
+        agent.params = agent.host_put(fetched[0])
+        agent.opt_state = agent.host_put(fetched[1])
         agent._device_replay = {
             "storage": storage,
             "lengths": lengths,
-            "ptr": int(ptr),
-            "size": int(size),
+            "ptr": int(fetched[2]),
+            "size": int(fetched[3]),
         }
 
 
 # ============================================================== dispatcher
 
 
-def make_planner(agent):
-    """Planner for a device-learnable agent, or None to keep host replay."""
+def make_planner(agent, hint_games: int = 0):
+    """Planner for a device-learnable agent, or None to keep host replay.
+
+    ``hint_games``: upper bound on the games this agent could play in the
+    block (the session's padded game count) -- floors the replay-program
+    shape buckets so compiles do not depend on the lineup draw.
+    """
     if isinstance(agent, DQNAgent):
         if agent.summary_writer is not None:
             return None
-        return DQNPlanner(agent)
+        return DQNPlanner(agent, hint_games)
     if isinstance(agent, BatchedACERAgent):
-        return ACERPlanner(agent)
+        return ACERPlanner(agent, hint_games)
     if isinstance(agent, (MaskedReinforceAgent, BatchedReinforceAgent)):
-        return ReinforcePlanner(agent)
+        return ReinforcePlanner(agent, hint_games)
     return None
