@@ -430,23 +430,38 @@ def _make_reinforce_train_step_fused(
         key, deal_key = jax.random.split(key)
         state = deal_batch(jax.random.split(deal_key, num_games))
 
-        def turn(carry, t):
-            state, key = carry
+        # Turns are UNROLLED (T=10 static) so each turn's policy forward
+        # runs on exactly the 10-t live candidate rows -- every seat holds
+        # the same number of cards at a given turn, so the padded [H] row
+        # batch wastes 45% of the candidate-row FLOPs across an episode
+        # (sum(10-t) = 55 of 100 rows are real).  Sampling and the loss
+        # still see the NEG_INF-padded [H] logits, so actions, log-probs and
+        # the loss are bit-identical to the scan form.
+        per_turn = []
+        H = cfg.hand_size
+        for t in range(T):
             key, sub = jax.random.split(key)
             obs, _ = observe_batch(state)
-            hands = state.hands_sorted
-            logits = policy_logits(params, obs, hands)
+            live = state.hands_sorted[:, :, : H - t]       # pads sit at the end
+            logits_live = policy_logits(params, obs, live)
+            logits = jnp.concatenate(
+                [
+                    logits_live,
+                    jnp.full(logits_live.shape[:2] + (t,), NEG_INF, logits_live.dtype),
+                ],
+                axis=-1,
+            ) if t else logits_live
             idx = jax.random.categorical(
                 sub, jax.lax.stop_gradient(logits), axis=-1
             ).astype(jnp.int32)
             logp, entropy = log_probs_and_entropy(logits)
             chosen_logp = onehot_select(logp, idx)
-            actions = onehot_select(hands, idx)
+            actions = onehot_select(state.hands_sorted, idx)
             state, rewards = step_batch(state, actions.astype(jnp.int32))
-            return (state, key), (chosen_logp, entropy, rewards.astype(jnp.float32))
+            per_turn.append((chosen_logp, entropy, rewards.astype(jnp.float32)))
 
-        (state, _), (chosen_logp, entropy, rewards) = lax.scan(
-            turn, (state, key), jnp.arange(T)
+        chosen_logp, entropy, rewards = (
+            jnp.stack([p[i] for p in per_turn]) for i in range(3)
         )
         reward = lag_rewards(rewards) if reward_lag else rewards
         reward = jax.lax.stop_gradient(reward) * r_factor
