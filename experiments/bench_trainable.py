@@ -132,7 +132,7 @@ def bench_dqn(cfg, G, key, per=True, chain=1, dtype="float32"):
     return time_cycles(fn, args)
 
 
-def bench_acer(cfg, G, key, chain=1, dtype="float32", on_policy=None):
+def bench_acer(cfg, G, key, chain=1, dtype="float32", on_policy=None, packed=False):
     from rl6nimmt_tpu.runtime.vector import make_acer_selfplay_step
 
     spec = MLPSpec(input_size=1 + cfg.state_length, hidden_sizes=(100, 100),
@@ -150,7 +150,8 @@ def bench_acer(cfg, G, key, chain=1, dtype="float32", on_policy=None):
     }
     buf = seq_init(65536, cfg.max_turns, example)
     cycle = make_acer_selfplay_step(
-        cfg, spec, optimizer, G, minibatch=512, on_policy_sequences=on_policy
+        cfg, spec, optimizer, G, minibatch=512, on_policy_sequences=on_policy,
+        packed_rows=packed,
     )
 
     def multi(params, opt_state, buf, key):
@@ -187,6 +188,8 @@ def main():
     parser.add_argument("--reinforce-fused", action="store_true",
                         help="differentiate through the rollout's own forward "
                              "(fused_grad=True; round-off-equivalent)")
+    parser.add_argument("--acer-packed", action="store_true",
+                        help="packed-row unrolled ACER train step")
     parser.add_argument("--acer-on-policy", type=int, default=None,
                         help="subsample the ACER on-policy phase to this many "
                              "fresh sequences (default: all G*P)")
@@ -199,7 +202,7 @@ def main():
 
     benches = {"reinforce": bench_reinforce, "dqn": bench_dqn, "acer": bench_acer}
     for name in args.learners.split(","):
-        kw = {"on_policy": args.acer_on_policy} if name == "acer" else {}
+        kw = {"on_policy": args.acer_on_policy, "packed": args.acer_packed} if name == "acer" else {}
         if name == "reinforce" and args.reinforce_fused:
             kw["fused"] = True
         sec = benches[name](cfg, G, key, chain=args.chain, dtype=args.dtype, **kw)
@@ -209,6 +212,7 @@ def main():
                       + (", bf16" if args.dtype == "bfloat16" else "")
                       + (f", on-policy {args.acer_on_policy}" if name == "acer" and args.acer_on_policy else "")
                       + (", fused-grad" if name == "reinforce" and args.reinforce_fused else "")
+                      + (", packed" if name == "acer" and args.acer_packed else "")
                       + ")",
             "value": round(steps_per_call / sec, 1),
             "unit": "steps/s",

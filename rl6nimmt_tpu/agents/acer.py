@@ -269,6 +269,7 @@ def make_acer_train_step(
     truncate: float = 1.0,
     actor_weight: float = 1.0,
     critic_weight: float = 1.0,
+    packed_rows: bool = False,
     axis_name=None,
 ):
     """ACER update over a batch of padded sequences (shared by the
@@ -277,6 +278,17 @@ def make_acer_train_step(
     ``train(params, opt_state, batch)`` expects ``batch`` leaves with leading
     axes ``[B, T, ...]``: state, legal_cards, log_probs (behavior), action_id,
     reward, done, plus ``length [B]``.
+
+    ``packed_rows=True`` assumes every sequence is a FULL aligned episode
+    (step t holds exactly ``H - t`` live cards in the leading slots — always
+    true for the vectorized self-play rollouts) and unrolls the time axis so
+    each step's ``[action | state]`` forward runs on only the live candidate
+    rows: 55 of 100 rows are real across an episode, and unrolling also
+    frees XLA from the per-sequence vmap+mask structure.  Head values are
+    identical (padded slots get the same LOG_EPSILON / 0), so the loss
+    matches the default path to float round-off
+    (``tests/test_acer_math.py``).  Keep the default for host agents (their
+    flush cadence produces variable-length sequences).
 
     With ``axis_name`` set (for use under ``shard_map``), gradients and
     losses are ``lax.pmean``-reduced over that mesh axis before the optimizer
@@ -287,6 +299,11 @@ def make_acer_train_step(
     device's per-step weighting then reduces to a plain local mean.)
     """
     aw, cw = actor_weight, critic_weight
+
+    if packed_rows:
+        return _make_acer_train_step_packed(
+            spec, optimizer, gamma, truncate, aw, cw, axis_name
+        )
 
 
     def seq_loss(params, seq):
@@ -343,6 +360,95 @@ def make_acer_train_step(
             return aw * al + cl + crl, (al, cl, crl)
 
         (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            losses = jax.lax.pmean(losses, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    return train
+
+
+def _make_acer_train_step_packed(
+    spec: MLPSpec, optimizer, gamma, truncate, aw, cw, axis_name
+):
+    """Packed-row twin of the default ACER train step (see above).
+
+    Same loss math restructured batch-level: the per-step heads run on the
+    live candidate rows only (time axis unrolled), then the truncated-IS /
+    bias-correction / retrace / Huber terms evaluate on the padded ``[B, T,
+    H]`` tensors exactly as ``seq_loss`` does.  Valid only for full aligned
+    episodes (``length == T`` with step t's cards in the leading ``H - t``
+    slots).
+    """
+
+    def heads_packed(params, batch):
+        B, T, H = batch["legal_cards"].shape
+        f = jax.vmap(lambda s, c: actor_critic_heads(spec, params, s, c))
+        lps, qs = [], []
+        for t in range(T):
+            live = batch["legal_cards"][:, t, : H - t]
+            lp, q = f(batch["state"][:, t], live)
+            if t:
+                lp = jnp.concatenate(
+                    [lp, jnp.full((B, t), LOG_EPSILON, lp.dtype)], axis=1
+                )
+                q = jnp.concatenate([q, jnp.zeros((B, t), q.dtype)], axis=1)
+            lps.append(lp)
+            qs.append(q)
+        return jnp.stack(lps, axis=1), jnp.stack(qs, axis=1)  # [B, T, H]
+
+    def batch_loss(params, batch):
+        B, T, H = batch["legal_cards"].shape
+        log_probs_now, q = heads_packed(params, batch)
+        aid = batch["action_id"]
+        q_a = onehot_select(q, aid)                              # [B, T]
+        logp_now_a = onehot_select(log_probs_now, aid)
+        v = jax.lax.stop_gradient(jnp.sum(q * jnp.exp(log_probs_now), axis=2))
+
+        rho = jax.lax.stop_gradient(jnp.exp(log_probs_now - batch["log_probs"]))
+        rho_a = onehot_select(rho, aid)
+        rho_bar = jnp.minimum(rho_a, truncate)
+        correction_coeff = jnp.maximum(1.0 - truncate / rho, 0.0)
+
+        q_ret = jax.lax.stop_gradient(
+            jax.vmap(
+                lambda r, d, qa, vv, rb, ln: acer_qret(
+                    r, d, qa, vv, rb, ln, gamma
+                )
+            )(
+                batch["reward"], batch["done"], jax.lax.stop_gradient(q_a),
+                v, rho_bar, batch["length"],
+            )
+        )
+
+        actor_terms = -rho_bar * logp_now_a * (q_ret - v)
+        correction_terms = jnp.sum(
+            -correction_coeff
+            * jnp.exp(batch["log_probs"])
+            * log_probs_now
+            * (jax.lax.stop_gradient(q) - v[:, :, None]),
+            axis=2,
+        )
+        diff = q_a - q_ret
+        huber = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff**2, jnp.abs(diff) - 0.5)
+
+        valid = jnp.arange(T)[None, :] < batch["length"][:, None]
+        m = valid.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(m, axis=1), 1.0)                  # [B]
+        al = jnp.sum(actor_terms * m, axis=1) / n
+        cl = jnp.sum(correction_terms * m, axis=1) / n
+        crl = cw * jnp.sum(huber * m, axis=1) / n
+        # Flattened-stream mean: weight each sequence by its step count.
+        w = n / jnp.sum(n)
+        al, cl, crl = jnp.sum(al * w), jnp.sum(cl * w), jnp.sum(crl * w)
+        return aw * al + cl + crl, (al, cl, crl)
+
+    def train(params, opt_state, batch):
+        (_, losses), grads = jax.value_and_grad(
+            lambda p: batch_loss(p, batch), has_aux=True
+        )(params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             losses = jax.lax.pmean(losses, axis_name)

@@ -777,6 +777,7 @@ def make_acer_selfplay_step(
     actor_weight: float = 1.0,
     critic_weight: float = 1.0,
     on_policy_sequences: Optional[int] = None,
+    packed_rows: bool = False,
     axis_name: Optional[str] = None,
 ):
     """Fused ACER self-play cycle: rollout + sequence-buffer fill + updates.
@@ -814,9 +815,12 @@ def make_acer_selfplay_step(
     from ..buffers.sequence import seq_sample, seq_store_batch
 
     rollout = make_acer_rollout(cfg, spec, num_games, r_factor)
+    # packed_rows: the cycle's sequences are always full aligned episodes,
+    # so the packed train twin applies (round-off-equivalent; see
+    # agents.acer.make_acer_train_step).
     train = make_acer_train_step(
         spec, optimizer, gamma, truncate, actor_weight, critic_weight,
-        axis_name=axis_name,
+        packed_rows=packed_rows, axis_name=axis_name,
     )
 
     n_fresh = num_games * cfg.num_players

@@ -105,3 +105,49 @@ def test_acer_train_step_matches_reference_recursion():
     np.testing.assert_allclose(float(actor), expected[0], rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(float(correction), expected[1], rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(float(critic), expected[2], rtol=2e-4, atol=1e-5)
+
+
+def test_packed_train_step_matches_default_on_aligned_sequences():
+    """packed_rows=True == default train step to float round-off when every
+    sequence is a full aligned episode (step t: H-t live leading slots)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rl6nimmt_tpu.agents.acer import make_acer_train_step
+    from rl6nimmt_tpu.nets import MLPSpec, mlp_init
+
+    B, T, H, S = 6, 10, 10, 47
+    spec = MLPSpec(input_size=1 + S, hidden_sizes=(16,), head_sizes=(1, 1))
+    params = mlp_init(jax.random.key(0), spec)
+    optimizer = optax.sgd(1e-2)  # linear in the gradient (cf. test_dp_sync)
+    opt_state = optimizer.init(params)
+
+    rng = np.random.RandomState(3)
+    cards = np.full((B, T, H), -1, np.int32)
+    for b in range(B):
+        hand = np.sort(rng.choice(104, size=H, replace=False))
+        for t in range(T):
+            cards[b, t, : H - t] = hand[t:]  # aligned: live rows lead
+    logits = rng.randn(B, T, H).astype(np.float32)
+    log_probs = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))).astype(np.float32)
+    batch = {
+        "state": jnp.asarray(rng.randn(B, T, S).astype(np.float32)),
+        "legal_cards": jnp.asarray(cards),
+        "log_probs": jnp.asarray(log_probs),
+        "action_id": jnp.asarray(
+            np.stack([[rng.randint(0, H - t) for t in range(T)] for _ in range(B)]).astype(np.int32)
+        ),
+        "reward": jnp.asarray(rng.randn(B, T).astype(np.float32)),
+        "done": jnp.asarray((rng.random((B, T)) < 0.1).astype(np.float32)),
+        "length": jnp.full((B,), T, jnp.int32),
+    }
+
+    default = jax.jit(make_acer_train_step(spec, optimizer))
+    packed = jax.jit(make_acer_train_step(spec, optimizer, packed_rows=True))
+    p1, o1, l1 = default(params, opt_state, batch)
+    p2, o2, l2 = packed(params, opt_state, batch)
+    for a, b_ in zip(l1, l2):
+        np.testing.assert_allclose(float(a), float(b_), rtol=1e-5, atol=1e-7)
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-7)
