@@ -589,8 +589,10 @@ def make_dqn_selfplay_step(
             state, rewards = step_batch(state, actions)
             return state, (obs, actions, rewards.astype(jnp.float32))
 
+        # unroll: frees XLA to fuse/schedule across turns (the same lever
+        # that bought REINFORCE 3.3x); semantics and values unchanged.
         state, (obs, actions, rewards) = lax.scan(
-            turn, state, (subs, turn_noise)
+            turn, state, (subs, turn_noise), unroll=T
         )
         # next_obs[t] = s_{t+1}; the last slot is the TRUE terminal
         # observation s_T (post-game state), which the reference's n-step
@@ -684,6 +686,7 @@ def make_dqn_selfplay_step(
             learn_once,
             (params, target_params, opt_state, buf),
             (step0 + jnp.arange(learn_iters), learn_keys, iter_noise),
+            unroll=learn_iters,
         )
         mean_score = jnp.mean(scores.astype(jnp.float32))
         if axis_name is not None:
