@@ -52,6 +52,10 @@ def main(argv=None):
                              "(Tournament.play_device_block); only Human / "
                              "temperature-PUCT seats fall back to the host "
                              "block driver")
+    parser.add_argument("--device-learning", action="store_true",
+                        help="with --device-blocks: run DQN/ACER/REINFORCE "
+                             "learner updates on device too "
+                             "(runtime/device_learn.py)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest stage checkpoint in "
                              "--checkpoint-dir (like the notebook reloading "
@@ -86,7 +90,8 @@ def main(argv=None):
             bucket = 1 << (block - 1).bit_length()  # fixed width incl. remainders
             for start in range(0, games, block):
                 tournament.play_device_block(
-                    min(block, games - start), bucket=bucket
+                    min(block, games - start), bucket=bucket,
+                    device_learning=args.device_learning,
                 )
         elif args.block <= 1:
             for _ in range(games):
