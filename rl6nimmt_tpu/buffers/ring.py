@@ -32,12 +32,25 @@ def circular_write(buf: jnp.ndarray, items: jnp.ndarray, ptr: jnp.ndarray) -> jn
     # The replaced ``buf.at[idx].set(items)`` silently cast; keep that
     # contract (dynamic_update_slice itself requires exact dtype match).
     items = items.astype(buf.dtype)
-    ext = jnp.concatenate([buf, buf[:n]], axis=0)
-    ext = lax.dynamic_update_slice_in_dim(ext, items, ptr, axis=0)
-    main, spill = ext[:cap], ext[cap:]
-    wrapped = (jnp.arange(n) + (cap - n) < ptr).reshape((n,) + (1,) * (buf.ndim - 1))
-    head = jnp.where(wrapped, spill, main[:n])
-    return jnp.concatenate([head, main[n:]], axis=0)
+
+    def nowrap(buf):
+        # ptr + n <= cap: a single in-place update -- no concat copies, so
+        # XLA can alias the buffer through scan carries.  Callers whose
+        # capacity is a multiple of the insert size (e.g. the vectorized
+        # ACER sequence buffer) take this branch on every insert.
+        return lax.dynamic_update_slice_in_dim(buf, items, ptr, axis=0)
+
+    def wrap(buf):
+        ext = jnp.concatenate([buf, buf[:n]], axis=0)
+        ext = lax.dynamic_update_slice_in_dim(ext, items, ptr, axis=0)
+        main, spill = ext[:cap], ext[cap:]
+        wrapped = (jnp.arange(n) + (cap - n) < ptr).reshape(
+            (n,) + (1,) * (buf.ndim - 1)
+        )
+        head = jnp.where(wrapped, spill, main[:n])
+        return jnp.concatenate([head, main[n:]], axis=0)
+
+    return lax.cond(ptr + n <= cap, nowrap, wrap, buf)
 
 
 class RingState(NamedTuple):

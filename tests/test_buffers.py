@@ -245,3 +245,23 @@ def test_nstep_named_classes_default_to_vanilla_like_reference():
     assert D3QN_PRB_NStep(seed=0).cfg.n_steps == 1
     # And the kwarg reaches the config (the notebook's flagship setting).
     assert Noisy_D3QN_PRB_NStep(seed=0, n_steps=10).cfg.n_steps == 10
+
+
+def test_circular_write_branch_matrix():
+    """Both circular_write branches (in-place no-wrap DUS vs the wrapped
+    concat fold) match the scatter reference for every (cap, n, ptr) combo,
+    including n == cap and the exact wrap boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    from rl6nimmt_tpu.buffers.ring import circular_write
+
+    rng = np.random.RandomState(0)
+    for cap, n in [(10, 10), (10, 4), (12, 4), (7, 3)]:
+        buf = jnp.asarray(rng.randn(cap, 3).astype(np.float32))
+        for ptr in range(cap):
+            items = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+            ref = np.asarray(buf).copy()
+            ref[(ptr + np.arange(n)) % cap] = np.asarray(items)
+            out = np.asarray(circular_write(buf, items, jnp.asarray(ptr, jnp.int32)))
+            np.testing.assert_array_equal(out, ref, err_msg=f"cap={cap} n={n} ptr={ptr}")
