@@ -56,6 +56,14 @@ BETA_INCREMENT = 0.001
 
 
 def per_init(capacity: int, example: Any) -> PERState:
+    """Allocate a PER buffer.
+
+    Performance note: if batch inserts always carry the same row count
+    ``n``, pick ``capacity`` as a multiple of ``n`` -- the write pointer
+    then never wraps and every insert takes :func:`..ring.circular_write`'s
+    in-place fast branch (no whole-buffer concat copies; measured worth
+    ~1.7 ms/cycle on the vectorized ACER trainer at G=4096).
+    """
     storage = jax.tree.map(
         lambda x: jnp.zeros((capacity,) + jnp.shape(x), jnp.asarray(x).dtype), example
     )
