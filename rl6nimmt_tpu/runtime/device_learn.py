@@ -49,7 +49,7 @@ on-policy + one off-policy update), policy.py:79-101 (episode REINFORCE).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,10 +77,6 @@ DEFAULT_SEQ_CAPACITY = 8_192
 EV_NOOP, EV_STORE, EV_LEARN = 0, 1, 2
 
 DEVICE_LEARN_FAMILIES = ("dqn", "acer", "rai", "rmask")
-
-
-def _pow2(n: int) -> int:
-    return 1 << max(0, int(n) - 1).bit_length() if n > 0 else 1
 
 
 def _bucket(n: int, floor: int = 64) -> int:
