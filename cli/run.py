@@ -69,6 +69,9 @@ def main(argv=None):
                              "seats) as COMPLETE games in one device program "
                              "per player count (Tournament.play_device_block); "
                              "implies lockstep chunking")
+    parser.add_argument("--device-learning", action="store_true",
+                        help="with --device-blocks: run DQN/ACER/REINFORCE "
+                             "learner updates on device too")
     parser.add_argument("--platform", type=str, default=None,
                         help="force JAX platform (e.g. cpu)")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -122,7 +125,9 @@ def main(argv=None):
                 )
             if args.device_blocks:
                 bucket = 1 << (args.block - 1).bit_length()
-                tournament.play_device_block(chunk, bucket=bucket)
+                tournament.play_device_block(
+                    chunk, bucket=bucket, device_learning=args.device_learning
+                )
             else:
                 tournament.play_block(chunk)
             maybe_evolve()
