@@ -100,6 +100,12 @@ def make_trainable_cycle(cfg, num_games, chain, learn_iters=8):
         "next_state": jnp.zeros(cfg.state_length),
         "done": jnp.zeros(()),
     }
+    # Ring layout on purpose: the block-aligned PER variant
+    # (buffers/per.py:per_init_aligned) was measured at these shapes and
+    # the wrapping insert is ALREADY off the critical path inside the cycle
+    # (experiments/micro_cycle5.py: learn_iters=0 cycle == bare rollout to
+    # 0.01 ms), while the aligned layout's larger physical priority array
+    # slows the 8 per-update stratified samples (4.46 vs 4.30 ms/cycle).
     buf = per_init(200_000, example)
     cycle = make_dqn_selfplay_step(cfg, dqn_cfg, optimizer, num_games, learn_iters=learn_iters)
 

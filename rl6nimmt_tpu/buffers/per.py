@@ -119,6 +119,96 @@ def per_add_batch(state: PERState, items: Any) -> PERState:
     )
 
 
+def per_init_aligned(capacity: int, insert_block: int, example: Any) -> PERState:
+    """PER buffer with a block-aligned physical layout (writes never wrap).
+
+    Physical capacity is ``capacity`` rounded UP to a multiple of
+    ``insert_block``, so every :func:`per_add_batch_aligned` insert of
+    exactly ``insert_block`` rows is one in-place ``dynamic_update_slice``
+    at an aligned pointer -- never the wrap branch of
+    :func:`..ring.circular_write`, whose concat extension moves ~2x the
+    buffer per insert.  Measured caveat (round 4, v5e,
+    ``experiments/micro_insert.py`` / ``micro_cycle5.py``): at the flagship
+    trainer's shapes the wrapping ring insert is ALREADY overlap-scheduled
+    off the cycle's critical path, and the aligned layout's larger physical
+    priority array slightly slows the per-update stratified samples -- so
+    the flagship bench stays on the ring layout.  Use this layout when the
+    insert measurably dominates (e.g. much wider transition rows or
+    capacity >> insert block, where the concat's 2x-capacity traffic beats
+    the sampler's O(physical) reduction).
+
+    Ring-eviction semantics are preserved exactly at the live-set level:
+    after every insert the live rows are the newest ``capacity`` rows ever
+    stored, with per-row priorities carried across inserts -- the same
+    (row, priority) multiset a ``per_init(capacity)`` ring holds (pinned by
+    ``tests/test_buffers.py::test_per_aligned_matches_ring_live_set``).
+    Rows older than ``capacity`` keep their storage until their block is
+    overwritten but have priority zeroed, and ``pri > 0`` == live excludes
+    them from both sampling and the min-probability IS normalizer, so the
+    per-transition selection probabilities are identical to the ring's.
+    Reference semantics (replay_buffer.py:122-203) are unchanged.
+    """
+    if insert_block <= 0:
+        raise ValueError(f"insert_block must be positive, got {insert_block}")
+    phys = -(-capacity // insert_block) * insert_block
+    return per_init(phys, example)
+
+
+def per_add_batch_aligned(state: PERState, items: Any, capacity: int) -> PERState:
+    """Aligned batch insert (see :func:`per_init_aligned`), all rows at the
+    current max priority like :func:`per_add_batch` (replay_buffer.py:150).
+
+    ``capacity`` is the LOGICAL ring capacity; the buffer must come from
+    ``per_init_aligned(capacity, n, ...)`` with ``n`` = this batch's row
+    count.  After the in-place write, the globally oldest ``phys -
+    capacity`` rows (the head of the next block to be overwritten) get
+    priority 0, evicting them from the live set exactly as the ring's
+    wrapping overwrite would.
+    """
+    from jax import lax
+
+    n = jax.tree.leaves(items)[0].shape[0]
+    phys = per_capacity(state)
+    if phys % n != 0:
+        raise ValueError(
+            f"aligned insert of {n} rows into physical capacity {phys}: "
+            f"capacity must be a multiple of the insert block"
+        )
+    if not capacity <= phys < capacity + n:
+        raise ValueError(
+            f"physical capacity {phys} is not capacity..capacity+block for "
+            f"logical capacity {capacity} and block {n}"
+        )
+    max_p = jnp.max(state.priorities)
+    priority = jnp.where(max_p == 0.0, ABS_ERROR_UPPER, max_p)
+    storage = jax.tree.map(
+        lambda buf, x: lax.dynamic_update_slice_in_dim(
+            buf, x.astype(buf.dtype), state.ptr, axis=0
+        ),
+        state.storage,
+        items,
+    )
+    pri = lax.dynamic_update_slice_in_dim(
+        state.priorities,
+        jnp.broadcast_to(priority, (n,)).astype(jnp.float32),
+        state.ptr,
+        axis=0,
+    )
+    nxt = ((state.ptr + n) % phys).astype(jnp.int32)
+    stale = phys - capacity  # static; < n, so the zeroed range never wraps
+    if stale:
+        pri = lax.dynamic_update_slice_in_dim(
+            pri, jnp.zeros((stale,), jnp.float32), nxt, axis=0
+        )
+    return PERState(
+        storage=storage,
+        priorities=pri,
+        ptr=nxt,
+        size=jnp.minimum(state.size + n, capacity),
+        beta=state.beta,
+    )
+
+
 def _block_size(capacity: int) -> int:
     """Power-of-two block width near sqrt(capacity), in [64, 1024]."""
     b = 64
@@ -164,13 +254,17 @@ def per_sample(
 
     segment = total / n
     u = (jnp.arange(n, dtype=jnp.float32) + jax.random.uniform(key, (n,))) * segment
-    idx = jnp.clip(
-        _stratified_indices(pri, u), 0, jnp.maximum(state.size - 1, 0)
-    ).astype(jnp.int32)
+    idx = _stratified_indices(pri, u).astype(jnp.int32)
+    # Live slots are exactly those with positive priority (every stored row
+    # keeps priority >= 0.01**0.6; empty ring slots and aligned-layout stale
+    # rows are 0).  A draw can only land on a dead slot when a float-exact
+    # boundary coincidence makes the strict comparison skip over a zero run;
+    # snap those (and the ring's old clip-to-size guard) to the max-priority
+    # slot, which is always live when the buffer is nonempty.
+    idx = jnp.where(pri[idx] > 0.0, idx, jnp.argmax(pri).astype(jnp.int32))
 
     probs = pri[idx] / total
-    valid = jnp.arange(per_capacity(state)) < state.size
-    min_prob = jnp.min(jnp.where(valid, pri, jnp.inf)) / total
+    min_prob = jnp.min(jnp.where(pri > 0.0, pri, jnp.inf)) / total
     weights = jnp.power(probs / min_prob, -beta)
 
     batch = jax.tree.map(lambda buf: buf[idx], state.storage)

@@ -2,6 +2,7 @@ from .cnn import CNNSpec, cnn_apply, cnn_init
 from .mlp import (
     MLPSpec,
     draw_mlp_noise,
+    noisy_effective_params,
     dueling_apply,
     linear_apply,
     linear_init,
@@ -18,6 +19,7 @@ __all__ = [
     "cnn_init",
     "MLPSpec",
     "draw_mlp_noise",
+    "noisy_effective_params",
     "dueling_apply",
     "linear_apply",
     "linear_init",

@@ -182,6 +182,32 @@ def draw_mlp_noise(spec: MLPSpec, key: jax.Array) -> list:
     return [_factorized_noise(k, i, o) for k, (i, o) in zip(keys, sizes)]
 
 
+def noisy_effective_params(spec: MLPSpec, params: dict, noise: list) -> dict:
+    """Collapse a noisy net + drawn noise into plain ``{"w","b"}`` layers.
+
+    Computes exactly the effective weights :func:`noisy_linear_apply` forms
+    inline (``w + sigma_w * eps_in*eps_out``, ``b + sigma_b * eps_out``), so
+    ``mlp_apply(replace(spec, noisy=False), noisy_effective_params(spec, p,
+    nz), x)`` is bit-identical to ``mlp_apply(spec, p, x, noise=nz)`` --
+    same elementwise expressions, same matmul shapes.  Vmap over stacked
+    noise to materialize many forwards' weights in one pass: the vectorized
+    DQN rollout precomputes all T turns' effective weights before its turn
+    scan, cutting the per-turn act to plain matmuls (the in-scan per-layer
+    noise application serialized ~6 small kernels per turn behind the env
+    step chain).
+    """
+    layers = list(params["trunk"]) + list(params["heads"])
+    effs = [
+        {
+            "w": p["w"] + p["sigma_w"] * (z["eps_in"] * z["eps_out"]),
+            "b": p["b"] + p["sigma_b"] * z["eps_out"][0],
+        }
+        for p, z in zip(layers, noise)
+    ]
+    n_trunk = len(params["trunk"])
+    return {"trunk": effs[:n_trunk], "heads": effs[n_trunk:]}
+
+
 def mlp_apply(
     spec: MLPSpec, params: dict, x: jnp.ndarray, key: Optional[jax.Array] = None,
     noise: Optional[list] = None,

@@ -36,7 +36,7 @@ from jax import lax
 
 from ..agents.dqn import DQNConfig, make_learn_step, q_network_spec, q_values
 from ..agents.reinforce import action_in_input_logits, log_probs_and_entropy
-from ..buffers.per import per_add_batch, per_sample, per_update
+from ..buffers.per import per_add_batch, per_add_batch_aligned, per_sample, per_update
 from ..buffers.ring import ring_add_batch, ring_sample
 from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
@@ -510,6 +510,7 @@ def make_dqn_selfplay_step(
     learn_iters: int = 10,
     reward_lag: bool = True,
     axis_name: Optional[str] = None,
+    per_aligned_capacity: Optional[int] = None,
 ):
     """Fused DQN self-play cycle: rollout + buffer fill + Bellman updates.
 
@@ -527,6 +528,14 @@ def make_dqn_selfplay_step(
     them -- synchronous data parallelism over the devices' concatenated
     minibatches; rollouts, buffers, and PER priorities stay per-device.  The
     returned function is then *not* jitted.
+
+    ``per_aligned_capacity``: pass the LOGICAL replay capacity to use the
+    block-aligned PER layout (the buffer must come from
+    ``per_init_aligned(per_aligned_capacity, T*G*P, example)``).  The
+    per-cycle insert of T*G*P transitions then never wraps -- one in-place
+    slice write instead of the ring's whole-buffer concat copies -- while
+    eviction and sampling probabilities stay exactly ring-equivalent (see
+    :func:`rl6nimmt_tpu.buffers.per.per_init_aligned`).
     """
     spec = q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions)
     deal_batch = jax.vmap(functools.partial(deal, cfg))
@@ -536,17 +545,15 @@ def make_dqn_selfplay_step(
     T = cfg.max_turns
     n = dqn_cfg.n_steps
 
-    def act(params, obs, masks, hands_sorted, key, eps, noise=None):
-        # obs [G, P, S] -> actions [G, P]
+    def act(params, obs, masks, hands_sorted, key, eps):
+        # obs [G, P, S] -> actions [G, P].  Epsilon-greedy path (non-noisy
+        # configs; the noisy rollout acts greedily on precomputed effective
+        # weights inside its own turn body below).  The unused noise_key
+        # split is kept so the key schedule stays bit-identical to earlier
+        # rounds' trajectories.
         noise_key, eps_key, rand_key = jax.random.split(key, 3)
-        q = q_values(
-            dqn_cfg, spec, params, obs,
-            noise_key if (dqn_cfg.noisy and noise is None) else None,
-            noise=noise,
-        )
+        q = q_values(dqn_cfg, spec, params, obs)
         greedy = jnp.argmax(jnp.where(masks, q, NEG_INF), axis=-1)
-        if dqn_cfg.noisy:
-            return greedy.astype(jnp.int32)  # noisy nets act greedily
         # Uniform legal draw via ONE uniform per seat over the sorted hand
         # (same distribution as a masked categorical over 104 lanes at ~100x
         # less RNG -- the engine's uniform_legal trick).
@@ -557,7 +564,9 @@ def make_dqn_selfplay_step(
         return jnp.where(explore, uniform, greedy).astype(jnp.int32)
 
     def rollout(params, key, eps):
-        from ..nets import draw_mlp_noise
+        import dataclasses
+
+        from ..nets import draw_mlp_noise, noisy_effective_params
 
         key, deal_key = jax.random.split(key)
         state = deal_batch(jax.random.split(deal_key, num_games))
@@ -573,26 +582,48 @@ def make_dqn_selfplay_step(
 
         _, subs = lax.scan(chain, key, jnp.arange(T))
         if dqn_cfg.noisy:
+            # Go one step further than precomputed noise: materialize every
+            # turn's EFFECTIVE weights (w + sigma*eps, b + sigma*eps) in one
+            # vectorized pass, so the in-scan act is plain matmuls.  Values
+            # are bit-identical to the in-apply noisy path -- same
+            # elementwise expressions, same matmul shapes (nets.mlp.
+            # noisy_effective_params); worth ~6 kernels/turn of op latency.
             noise_keys = jax.vmap(lambda s: jax.random.split(s, 3)[0])(subs)
             turn_noise = jax.vmap(lambda nk: draw_mlp_noise(spec, nk))(noise_keys)
-        else:
-            turn_noise = jax.vmap(lambda s: jnp.zeros((), jnp.float32))(subs)
+            turn_eff = jax.vmap(
+                lambda nz: noisy_effective_params(spec, params, nz)
+            )(turn_noise)
+            eff_spec = dataclasses.replace(spec, noisy=False)
+
+            def turn(carry, xs):
+                state = carry
+                eff = xs
+                obs, masks = observe_batch(state)
+                q = q_values(dqn_cfg, eff_spec, eff, obs)
+                # noisy nets act greedily -- no epsilon branch (dqn.py:247-261)
+                actions = jnp.argmax(jnp.where(masks, q, NEG_INF), axis=-1).astype(jnp.int32)
+                state, rewards = step_batch(state, actions)
+                return state, (obs, actions, rewards.astype(jnp.float32))
+
+            state, (obs, actions, rewards) = lax.scan(
+                turn, state, turn_eff, unroll=T
+            )
+            final_obs, _ = observe_batch(state)
+            next_obs = jnp.concatenate([obs[1:], final_obs[None]], axis=0)
+            return obs, actions, rewards, next_obs, -state.scores
 
         def turn(carry, xs):
             state = carry
-            sub, noise = xs
+            sub = xs
             obs, masks = observe_batch(state)
-            actions = act(
-                params, obs, masks, state.hands_sorted, sub, eps,
-                noise=noise if dqn_cfg.noisy else None,
-            )
+            actions = act(params, obs, masks, state.hands_sorted, sub, eps)
             state, rewards = step_batch(state, actions)
             return state, (obs, actions, rewards.astype(jnp.float32))
 
         # unroll: frees XLA to fuse/schedule across turns (the same lever
         # that bought REINFORCE 3.3x); semantics and values unchanged.
         state, (obs, actions, rewards) = lax.scan(
-            turn, state, (subs, turn_noise), unroll=T
+            turn, state, subs, unroll=T
         )
         # next_obs[t] = s_{t+1}; the last slot is the TRUE terminal
         # observation s_T (post-game state), which the reference's n-step
@@ -669,7 +700,9 @@ def make_dqn_selfplay_step(
         roll_key, learn_key = jax.random.split(key)
         obs, actions, rewards, next_obs, scores = rollout(params, roll_key, eps)
         transitions = to_transitions(obs, actions, rewards, next_obs)
-        if dqn_cfg.per:
+        if dqn_cfg.per and per_aligned_capacity is not None:
+            buf = per_add_batch_aligned(buf, transitions, per_aligned_capacity)
+        elif dqn_cfg.per:
             buf = per_add_batch(buf, transitions)
         else:
             buf = ring_add_batch(buf, transitions)

@@ -12,6 +12,7 @@ import numpy as np
 from rl6nimmt_tpu.buffers import (
     per_add,
     per_init,
+    per_init_aligned,
     per_sample,
     per_update,
     ring_add,
@@ -265,3 +266,111 @@ def test_circular_write_branch_matrix():
             ref[(ptr + np.arange(n)) % cap] = np.asarray(items)
             out = np.asarray(circular_write(buf, items, jnp.asarray(ptr, jnp.int32)))
             np.testing.assert_array_equal(out, ref, err_msg=f"cap={cap} n={n} ptr={ptr}")
+
+
+def test_per_aligned_matches_ring_live_set():
+    """Aligned PER == ring PER at the live-set level, round after round.
+
+    Runs parallel histories through ``per_add_batch`` (ring, wrapping) and
+    ``per_add_batch_aligned`` (block-aligned physical layout) with unique
+    row ids, applying priority updates addressed BY CONTENT (so physical
+    index differences cannot mask a divergence).  After every round the
+    (row, priority) multiset of live slots, the live count, and the
+    per-row selection probabilities must agree -- including priorities
+    carried across partial evictions.
+    """
+    from rl6nimmt_tpu.buffers import per_add_batch, per_add_batch_aligned
+
+    cap, n = 10, 8  # phys = 16, stale = 6: evicts slice an old block every round
+    ex = {"x": jnp.zeros(())}
+    ring = per_init(cap, ex)
+    ali = per_init_aligned(cap, n, ex)
+    assert ali.priorities.shape[0] == 16
+
+    def live(state):
+        pri = np.asarray(state.priorities)
+        xs = np.asarray(state.storage["x"])
+        mask = pri > 0
+        return dict(zip(xs[mask].tolist(), pri[mask].tolist()))
+
+    def update_by_content(state):
+        xs = np.asarray(state.storage["x"])
+        pri = np.asarray(state.priorities)
+        sel = (pri > 0) & (xs.astype(np.int64) % 3 == 0)
+        if not sel.any():
+            return state
+        idx = jnp.asarray(np.nonzero(sel)[0], jnp.int32)
+        err = jnp.asarray(0.05 + (xs[sel] % 7.0) / 10.0, jnp.float32)
+        return per_update(state, idx, err)
+
+    rid = 0
+    for _ in range(7):
+        items = {"x": jnp.arange(rid, rid + n, dtype=jnp.float32)}
+        rid += n
+        ring = per_add_batch(ring, items)
+        ali = per_add_batch_aligned(ali, items, cap)
+        ring, ali = update_by_content(ring), update_by_content(ali)
+
+        lr, la = live(ring), live(ali)
+        assert lr == la  # exact: identical per-row ops in both layouts
+        assert len(la) == min(rid, cap)
+        assert int(ring.size) == int(ali.size) == min(rid, cap)
+        # Selection probabilities and the IS min-prob normalizer agree.
+        tr = float(jnp.sum(ring.priorities))
+        ta = float(jnp.sum(ali.priorities))
+        np.testing.assert_allclose(tr, ta, rtol=1e-6)
+        np.testing.assert_allclose(
+            sorted(p / tr for p in lr.values()),
+            sorted(p / ta for p in la.values()),
+            rtol=1e-6,
+        )
+
+
+def test_per_aligned_sampling_live_and_tracks_priorities():
+    """Aligned-layout sampling never selects a stale/dead slot and tracks
+    priorities proportionally, exactly like the ring layout."""
+    from rl6nimmt_tpu.buffers import per_add_batch_aligned
+
+    cap, n = 12, 8  # phys = 16, stale = 4
+    state = per_init_aligned(cap, n, {"x": jnp.zeros(())})
+    for r in range(3):
+        state = per_add_batch_aligned(
+            state, {"x": jnp.arange(r * n, (r + 1) * n, dtype=jnp.float32)}, cap
+        )
+    pri = np.asarray(state.priorities)
+    assert (pri > 0).sum() == cap  # live count pinned at logical capacity
+
+    # Boost one live row far above the rest, by content.
+    xs = np.asarray(state.storage["x"])
+    target_slot = int(np.nonzero((pri > 0) & (xs == 20.0))[0][0])
+    new_pri = np.where(pri > 0, 0.1, 0.0).astype(np.float32)
+    new_pri[target_slot] = 8.0
+    state = state._replace(priorities=jnp.asarray(new_pri))
+
+    counts = np.zeros(16)
+    key = jax.random.key(2)
+    sample = jax.jit(per_sample, static_argnums=2)
+    for _ in range(200):
+        key, sub = jax.random.split(key)
+        _, idx, weights, batch = sample(state, sub, 8)
+        idx = np.asarray(idx)
+        assert (np.asarray(state.priorities)[idx] > 0).all()  # never dead
+        assert np.isfinite(np.asarray(weights)).all()
+        for i in idx:
+            counts[i] += 1
+    frac = counts[target_slot] / counts.sum()
+    expect = 8.0 / (8.0 + 0.1 * (cap - 1))
+    assert abs(frac - expect) < 0.05
+
+
+def test_per_aligned_validates_shapes():
+    import pytest
+
+    from rl6nimmt_tpu.buffers import per_add_batch_aligned
+
+    state = per_init_aligned(10, 8, {"x": jnp.zeros(())})
+    with pytest.raises(ValueError):
+        per_add_batch_aligned(state, {"x": jnp.zeros(5)}, 10)  # 16 % 5 != 0
+    with pytest.raises(ValueError):
+        # 16 % 4 == 0 but phys=16 >= cap+n=14: block doesn't match the init.
+        per_add_batch_aligned(state, {"x": jnp.zeros(4)}, 10)

@@ -174,3 +174,45 @@ def test_precomputed_noise_matches_key_draws():
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_noisy_effective_params_bit_identical():
+    """Collapsing noise into effective weights == the in-apply noisy path,
+    bit for bit (same elementwise expressions, same matmul shapes) -- the
+    equivalence the vectorized DQN rollout's precomputed-weights act relies
+    on (runtime/vector.py:make_dqn_selfplay_step)."""
+    import dataclasses
+
+    from rl6nimmt_tpu.nets import (
+        MLPSpec,
+        draw_mlp_noise,
+        mlp_apply,
+        mlp_init,
+        noisy_effective_params,
+    )
+
+    spec = MLPSpec(input_size=47, hidden_sizes=(64,), head_sizes=(1, 104), noisy=True)
+    params = mlp_init(jax.random.key(0), spec)
+    x = jax.random.normal(jax.random.key(1), (37, 47))
+
+    for seed in range(3):
+        key = jax.random.key(10 + seed)
+        nz = draw_mlp_noise(spec, key)
+        want = mlp_apply(spec, params, x, noise=nz)
+        eff = noisy_effective_params(spec, params, nz)
+        got = mlp_apply(dataclasses.replace(spec, noisy=False), eff, x)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+    # And under vmap over stacked noise (how the rollout materializes all
+    # T turns' weights in one pass).
+    keys = jax.random.split(jax.random.key(2), 5)
+    noises = jax.vmap(lambda k: draw_mlp_noise(spec, k))(keys)
+    effs = jax.vmap(lambda nz: noisy_effective_params(spec, params, nz))(noises)
+    for t in range(5):
+        nz_t = jax.tree.map(lambda a: a[t], noises)
+        eff_t = jax.tree.map(lambda a: a[t], effs)
+        want = mlp_apply(spec, params, x, noise=nz_t)
+        got = mlp_apply(dataclasses.replace(spec, noisy=False), eff_t, x)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
