@@ -80,12 +80,23 @@ def init_from_deck(cfg: EnvConfig, deck: jnp.ndarray) -> EnvState:
     deck = deck.astype(jnp.int32)
 
     dealt = deck[: P * H]
-    owners = jnp.repeat(jnp.arange(P, dtype=jnp.int32), H)
-    hands = jnp.zeros((P, C), dtype=jnp.bool_).at[owners, dealt].set(True)
+    # Membership bitmap by comparison instead of scatter: XLA lowers the
+    # vmapped [G, P*H]-index scatter to a serialized per-index loop (~0.9 ms
+    # per 4096-game deal on v5e, the single hottest op of the DQN cycle),
+    # while the [P, H, C] compare + any is a pure VPU reduction.  Dealt
+    # cards are unique, so the bitmap is bit-identical.
+    hands = jnp.any(
+        dealt.reshape(P, H)[:, :, None]
+        == jnp.arange(C, dtype=jnp.int32)[None, None, :],
+        axis=1,
+    )
     hands_sorted = jnp.sort(dealt.reshape(P, H), axis=1)
 
     seeds = deck[C - 1 - jnp.arange(R)]
-    board = jnp.full((R, T), -1, dtype=jnp.int32).at[:, 0].set(seeds)
+    # Seed column 0 by concatenation (a scatter-free construction).
+    board = jnp.concatenate(
+        [seeds[:, None], jnp.full((R, T - 1), -1, dtype=jnp.int32)], axis=1
+    )
 
     return EnvState(
         board=board,

@@ -648,8 +648,17 @@ def make_dqn_selfplay_step(
         # s'[t] = s_{min(t+n, T)}: the t = T-n transition (and the flushed
         # tail) bootstrap from the terminal observation s_T, as the
         # reference's pop/flush do (dqn.py:270-301).
-        idx_next = jnp.minimum(jnp.arange(T) + n, T)
-        next_states = next_obs[idx_next - 1] if n > 1 else next_obs
+        if n >= T:
+            # Every transition bootstraps from the terminal observation
+            # (min(t + n, T) == T for all t): broadcast instead of the
+            # [T, G, P, S] gather (~0.2 ms/cycle at G=4096).  Identical
+            # values -- this is the flagship n_steps=10 case.
+            next_states = jnp.broadcast_to(next_obs[T - 1][None], next_obs.shape)
+        elif n > 1:
+            idx_next = jnp.minimum(jnp.arange(T) + n, T)
+            next_states = next_obs[idx_next - 1]
+        else:
+            next_states = next_obs
         # Done-flag parity with the reference n-step buffer (dqn.py:270-301):
         # for n > 1 the transition at t = T-n keeps done=False (it bootstraps
         # from the terminal observation); only the flushed tail is done=True.
@@ -680,6 +689,13 @@ def make_dqn_selfplay_step(
         else:
             idx, batch = ring_sample(buf, sample_key, dqn_cfg.minibatch)
             weights = jnp.ones(dqn_cfg.minibatch, jnp.float32)
+        # Barrier: without it XLA hoists the Q-net's f32->split-bf16 operand
+        # conversion ABOVE the minibatch gather, materializing a bf16 shadow
+        # of the ENTIRE replay storage that is then rewritten through every
+        # insert (profiled at ~1.6 ms/cycle of the flagship's 3.6 ms).  The
+        # barrier pins the conversion to the 64 gathered rows.  Identity on
+        # values.
+        batch = jax.lax.optimization_barrier(batch)
         batch = dict(batch, weights=weights)
         # Soft-update cadence: every retrain_interval-th learn step, like the
         # host learner (dqn.py:304-353).  The counter restarts at step0 per
