@@ -82,7 +82,7 @@ def make_trainable_cycle(cfg, num_games, chain, learn_iters=8):
     from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec
     from rl6nimmt_tpu.buffers import per_init
     from rl6nimmt_tpu.nets import mlp_init
-    from rl6nimmt_tpu.runtime.vector import make_dqn_selfplay_step
+    from rl6nimmt_tpu.runtime.vector import dqn_replay_example, make_dqn_selfplay_step
 
     dqn_cfg = DQNConfig(
         double=True, dueling=True, noisy=True, per=True,
@@ -93,19 +93,14 @@ def make_trainable_cycle(cfg, num_games, chain, learn_iters=8):
     target = jax.tree.map(jnp.copy, params)
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
-    example = {
-        "state": jnp.zeros(cfg.state_length),
-        "action": jnp.zeros((), jnp.int32),
-        "reward": jnp.zeros(()),
-        "next_state": jnp.zeros(cfg.state_length),
-        "done": jnp.zeros(()),
-    }
-    # Ring layout on purpose: the block-aligned PER variant
-    # (buffers/per.py:per_init_aligned) was measured at these shapes and
-    # the wrapping insert is ALREADY off the critical path inside the cycle
-    # (experiments/micro_cycle5.py: learn_iters=0 cycle == bare rollout to
-    # 0.01 ms), while the aligned layout's larger physical priority array
-    # slows the 8 per-update stratified samples (4.46 vs 4.30 ms/cycle).
+    # Compact int8 transition rows (value-exact; upcast on the sampled 64
+    # rows -- see dqn_replay_example) cut the profiled top cost of the
+    # cycle, the 163,840-row insert + whole-buffer relayout traffic, ~4x.
+    # Ring layout on purpose: the block-aligned PER variant was measured at
+    # these shapes (experiments/micro_cycle5.py) and its larger physical
+    # priority array slows the 8 per-update stratified samples more than
+    # the aligned write saves.
+    example = dqn_replay_example(cfg, compact=True)
     buf = per_init(200_000, example)
     cycle = make_dqn_selfplay_step(cfg, dqn_cfg, optimizer, num_games, learn_iters=learn_iters)
 

@@ -501,6 +501,29 @@ def _make_reinforce_train_step_fused(
 # ------------------------------------------------------------ DQN self-play
 
 
+def dqn_replay_example(cfg: EnvConfig, compact: bool = True) -> dict:
+    """Example transition for the DQN self-play replay buffer.
+
+    ``compact=True`` stores states/actions/done as int8: every raw
+    observation component is a small integer (card ids -1..103, counts <= 10,
+    row penalties <= 42 -- reference env.py:174-239), so the int8 round trip
+    is value-exact while cutting the buffer's insert/relayout traffic ~4x
+    (the insert was the profiled top cost of the flagship cycle).  The n-step
+    reward is a true float and stays f32.  ``make_dqn_selfplay_step``
+    upcasts the 64 sampled rows back to the learn dtypes, so training is
+    bit-identical between compact and f32 buffers
+    (tests/test_vector_runtime.py::test_compact_replay_bit_identical).
+    """
+    sdt = jnp.int8 if compact else jnp.float32
+    return {
+        "state": jnp.zeros(cfg.state_length, sdt),
+        "action": jnp.zeros((), jnp.int8 if compact else jnp.int32),
+        "reward": jnp.zeros(()),
+        "next_state": jnp.zeros(cfg.state_length, sdt),
+        "done": jnp.zeros((), jnp.int8 if compact else jnp.float32),
+    }
+
+
 def make_dqn_selfplay_step(
     cfg: EnvConfig,
     dqn_cfg: DQNConfig,
@@ -696,6 +719,17 @@ def make_dqn_selfplay_step(
         # barrier pins the conversion to the 64 gathered rows.  Identity on
         # values.
         batch = jax.lax.optimization_barrier(batch)
+        # Upcast compact (int8) storage to the learn dtypes on the 64
+        # gathered rows; no-ops for a full-precision buffer.  Stored values
+        # are exact small integers, so this is bit-identical either way
+        # (dqn_replay_example).
+        batch = {
+            "state": batch["state"].astype(jnp.float32),
+            "action": batch["action"].astype(jnp.int32),
+            "reward": batch["reward"].astype(jnp.float32),
+            "next_state": batch["next_state"].astype(jnp.float32),
+            "done": batch["done"].astype(jnp.float32),
+        }
         batch = dict(batch, weights=weights)
         # Soft-update cadence: every retrain_interval-th learn step, like the
         # host learner (dqn.py:304-353).  The counter restarts at step0 per

@@ -501,3 +501,65 @@ def test_chained_cycles_match_sequential_dispatches():
     np.testing.assert_array_equal(
         np.asarray(seq[3].storage["state"]), np.asarray(chain[3].storage["state"])
     )
+
+
+def test_compact_replay_bit_identical():
+    """int8 compact replay storage trains BIT-IDENTICALLY to the f32 buffer:
+    every stored component is an exact small integer, so the downcast/upcast
+    round trip changes nothing (dqn_replay_example)."""
+    from rl6nimmt_tpu.runtime.vector import dqn_replay_example, make_dqn_selfplay_step
+
+    dqn_cfg = DQNConfig(double=True, dueling=True, noisy=True, per=True,
+                        n_steps=10, hidden_sizes=(16,), minibatch=16)
+    spec = q_network_spec(dqn_cfg, CFG.state_length, CFG.num_actions)
+    optimizer = optax.adam(1e-3)
+    cycle = make_dqn_selfplay_step(CFG, dqn_cfg, optimizer, num_games=8, learn_iters=4)
+
+    results = []
+    for compact in (False, True):
+        params = mlp_init(jax.random.key(7), spec)
+        target = jax.tree.map(jnp.copy, params)
+        opt_state = optimizer.init(params)
+        buf = per_init(4096, dqn_replay_example(CFG, compact=compact))
+        losses = []
+        for k in jax.random.split(jax.random.key(8), 3):
+            params, target, opt_state, buf, m = cycle(
+                params, target, opt_state, buf, k, 0.3
+            )
+            losses.append(float(m["loss"]))
+        results.append((params, losses))
+
+    (p_f32, l_f32), (p_i8, l_i8) = results
+    assert l_f32 == l_i8
+    for a, b in zip(jax.tree.leaves(p_f32), jax.tree.leaves(p_i8)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_observations_are_small_integers():
+    """The compact int8 replay relies on every observation component being an
+    exact integer in [-1, 104] (card ids, counts, row penalties <= 42 --
+    reference env.py:174-239).  Pin that over random games, every turn."""
+    import functools
+
+    from rl6nimmt_tpu.engine.env import deal, observe, step
+    from rl6nimmt_tpu.utils.tpu_ops import onehot_select, uniform_index
+
+    deal_b = jax.vmap(functools.partial(deal, CFG))
+    step_b = jax.vmap(functools.partial(step, CFG))
+    obs_b = jax.vmap(functools.partial(observe, CFG))
+
+    state = deal_b(jax.random.split(jax.random.key(9), 64))
+    key = jax.random.key(10)
+    for t in range(CFG.max_turns):
+        obs, _ = obs_b(state)
+        o = np.asarray(obs)
+        assert np.array_equal(o, np.round(o)), f"non-integer obs at turn {t}"
+        assert o.min() >= -1 and o.max() <= 104, f"obs out of int8 range at turn {t}"
+        key, sub = jax.random.split(key)
+        count = jnp.sum(state.hands_sorted >= 0, axis=-1)
+        r = uniform_index(sub, count)
+        actions = onehot_select(state.hands_sorted, r).astype(jnp.int32)
+        state, _ = step_b(state, actions)
+    obs, _ = obs_b(state)
+    o = np.asarray(obs)
+    assert np.array_equal(o, np.round(o)) and o.min() >= -1 and o.max() <= 104
