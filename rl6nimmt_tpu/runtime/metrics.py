@@ -11,7 +11,10 @@ gradient diagnostic (various.py:11-38) -- rebuilt TPU-appropriately:
 * :class:`MetricLogger` -- scalar series sink with jsonl persistence; drop-in
   for the ``summary_writer.add_scalar`` call sites.
 * :func:`grad_stats` -- per-layer gradient magnitude summary (the data behind
-  plot_grad_flow, sans matplotlib).
+  plot_grad_flow).
+* :func:`plot_grad_flow` -- the reference's matplotlib gradient-flow figure
+  over a JAX gradient pytree (invoked by experiments/debug_gradflow.py; the
+  reference imported it into dqn.py but never called it).
 * :func:`trace` -- context manager around ``jax.profiler`` for TPU traces.
 """
 
@@ -119,6 +122,56 @@ def grad_stats(grads: Any) -> Dict[str, Dict[str, float]]:
         arr = np.abs(np.asarray(leaf))
         stats[name] = {"mean_abs": float(arr.mean()), "max_abs": float(arr.max())}
     return stats
+
+
+def plot_grad_flow(grads: Any, path: Optional[str] = None, ylim: float = 0.02):
+    """Gradient-flow bar chart (reference various.py:11-38), JAX-native.
+
+    Takes a gradient pytree (instead of torch ``named_parameters``), keeps
+    the reference's layout -- overlaid max/mean |grad| bars per layer,
+    vertical layer names, zero line, zoomed y-axis -- and drops bias leaves
+    like the reference's ``"bias" not in n`` filter (here: leaf names ending
+    in ``/b`` or ``/sigma_b``).  Writes the figure to ``path`` (or returns
+    it) using the Agg backend, so it works headless on a TPU host.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.lines import Line2D
+
+    stats = grad_stats(grads)
+    layers, ave_grads, max_grads = [], [], []
+    for name, s in stats.items():
+        if name.endswith("/b") or name.endswith("/sigma_b"):
+            continue
+        layers.append(name)
+        ave_grads.append(s["mean_abs"])
+        max_grads.append(s["max_abs"])
+
+    fig, ax = plt.subplots(figsize=(max(6, len(layers) * 0.8), 4))
+    ax.bar(np.arange(len(max_grads)), max_grads, alpha=0.1, lw=1, color="c")
+    ax.bar(np.arange(len(ave_grads)), ave_grads, alpha=0.1, lw=1, color="b")
+    ax.hlines(0, 0, len(ave_grads) + 1, lw=2, color="k")
+    ax.set_xticks(range(len(layers)))
+    ax.set_xticklabels(layers, rotation="vertical")
+    ax.set_xlim(left=-0.5, right=len(ave_grads) - 0.5 if ave_grads else 0.5)
+    ax.set_ylim(bottom=-0.001, top=ylim)  # zoom on the small-gradient region
+    ax.set_xlabel("Layers")
+    ax.set_ylabel("average gradient")
+    ax.set_title("Gradient flow")
+    ax.grid(True)
+    ax.legend(
+        [Line2D([0], [0], color="c", lw=4), Line2D([0], [0], color="b", lw=4),
+         Line2D([0], [0], color="k", lw=4)],
+        ["max-gradient", "mean-gradient", "zero-gradient"],
+    )
+    fig.tight_layout()
+    if path is not None:
+        fig.savefig(path)
+        plt.close(fig)
+        return path
+    return fig
 
 
 @contextlib.contextmanager

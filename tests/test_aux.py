@@ -150,3 +150,19 @@ def test_cnn_shapes():
     # counts one pool too many (len(sizes) instead of len(sizes)-1) -- kept
     # as-is for parity with the (unused) reference CNN.
     assert spec.linear_out_size(16, 16) == 2 * 2 * 4
+
+
+def test_plot_grad_flow_writes_figure(tmp_path):
+    """The reference-styled gradient-flow figure (various.py:11-38) renders
+    headless from a gradient pytree and skips bias leaves like the
+    reference's name filter."""
+    from rl6nimmt_tpu.runtime.metrics import plot_grad_flow
+
+    grads = {
+        "trunk": [{"w": jnp.full((4, 3), 0.01), "b": jnp.ones(3),
+                   "sigma_w": jnp.full((4, 3), 0.002), "sigma_b": jnp.ones(3)}],
+        "heads": [{"w": jnp.full((3, 2), 0.005), "b": jnp.ones(2)}],
+    }
+    out = tmp_path / "gf.png"
+    plot_grad_flow(grads, str(out))
+    assert out.exists() and out.stat().st_size > 1000
