@@ -361,8 +361,10 @@ def make_acer_train_step(
 
         (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            losses = jax.lax.pmean(losses, axis_name)
+            # One raveled collective for grads + the loss vector (VERDICT r3 #2).
+            from ..utils.tpu_ops import pmean_fused
+
+            grads, losses = pmean_fused((grads, losses), axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses
@@ -450,8 +452,10 @@ def _make_acer_train_step_packed(
             lambda p: batch_loss(p, batch), has_aux=True
         )(params)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            losses = jax.lax.pmean(losses, axis_name)
+            # One raveled collective for grads + the loss vector (VERDICT r3 #2).
+            from ..utils.tpu_ops import pmean_fused
+
+            grads, losses = pmean_fused((grads, losses), axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses

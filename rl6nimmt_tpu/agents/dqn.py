@@ -157,8 +157,13 @@ def make_learn_step(
             params, target_params, batch, key_eval, key_tgt, noise_eval, noise_tgt
         )
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
+            # ONE fused collective per update (VERDICT r3 #2): the gradient
+            # tree and the scalar loss ride a single raveled all-reduce
+            # instead of one tiny pmean per leaf (12+ for the noisy dueling
+            # net, ~100 sequential sub-KB all-reduces per 8-update cycle).
+            from ..utils.tpu_ops import pmean_fused
+
+            grads, loss = pmean_fused((grads, loss), axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if cfg.double:

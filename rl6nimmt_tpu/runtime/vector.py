@@ -42,7 +42,7 @@ from ..engine.env import deal, observe, step
 from ..engine.state import EnvConfig
 from ..nets import MLPSpec
 from ..utils.returns import discounted_returns
-from ..utils.tpu_ops import onehot_select, uniform_index
+from ..utils.tpu_ops import onehot_select, pmean_fused, uniform_index
 
 NEG_INF = -1e9
 
@@ -391,9 +391,8 @@ def make_reinforce_train_step(
         loss, grads = jax.value_and_grad(total_loss)(params)
         mean_score = jnp.mean(scores.astype(jnp.float32))
         if axis_name is not None:
-            grads = lax.pmean(grads, axis_name)
-            loss = lax.pmean(loss, axis_name)
-            mean_score = lax.pmean(mean_score, axis_name)
+            # One raveled collective for grads + both scalars (VERDICT r3 #2).
+            grads, loss, mean_score = pmean_fused((grads, loss, mean_score), axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {"loss": loss, "mean_score": mean_score}
@@ -487,9 +486,8 @@ def _make_reinforce_train_step_fused(
             params, key
         )
         if axis_name is not None:
-            grads = lax.pmean(grads, axis_name)
-            loss = lax.pmean(loss, axis_name)
-            mean_score = lax.pmean(mean_score, axis_name)
+            # One raveled collective for grads + both scalars (VERDICT r3 #2).
+            grads, loss, mean_score = pmean_fused((grads, loss, mean_score), axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {"loss": loss, "mean_score": mean_score}

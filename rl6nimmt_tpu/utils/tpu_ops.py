@@ -36,3 +36,21 @@ def onehot_select(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """
     iota = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     return jnp.sum(jnp.where(iota == idx[..., None], x, 0), axis=-1)
+
+
+def pmean_fused(tree, axis_name):
+    """``lax.pmean`` of a whole pytree as ONE collective.
+
+    Ravels the tree into a single flat vector before the reduction instead
+    of issuing one tiny all-reduce per leaf -- the DP DQN cycle's 8 updates
+    otherwise emit ~100 sequential sub-KB all-reduces per cycle, pure
+    interconnect latency (VERDICT r3 #2; measured on the 2-process Gloo
+    proxy in experiments/multiprocess_dp.py).  Elementwise identical to
+    per-leaf pmeans: the reduction applies the same mean per element
+    regardless of concatenation.  All leaves must share a dtype (f32 here;
+    ``ravel_pytree`` would otherwise promote).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat, unravel = ravel_pytree(tree)
+    return unravel(lax.pmean(flat, axis_name))
