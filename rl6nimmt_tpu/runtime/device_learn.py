@@ -344,10 +344,24 @@ class DQNPlanner:
     # ------------------------------------------------------------- execute
 
     def execute(self) -> None:
+        handles = self.dispatch()
+        if handles is not None:
+            self.finalize(jax.device_get(handles))
+
+    def dispatch(self):
+        """Async phase: build the plan and launch the replay program.
+
+        Returns the tuple of device handles the host needs (or None when the
+        agent saw no events); device-resident pieces (storage, priorities)
+        are parked on the planner for :meth:`finalize`.  The session
+        dispatches EVERY agent's program before fetching anything, then does
+        ONE ``jax.device_get`` for all agents -- a single tunnel round trip
+        per block instead of one per agent (VERDICT r3 #7).
+        """
         agent, cfg = self.agent, self.cfg
         st = agent._device_replay
         if not self.events:
-            return
+            return None
         # ONE bucket for all three stream axes, floored at the block-size
         # hint: every distinct (K, M, E) combo is a separate multi-second
         # compile over the tunnel, and per-agent counts vary with the lineup
@@ -422,12 +436,17 @@ class DQNPlanner:
             st["pri"],
             plan,
         )
-        # One batched host transfer for everything the host needs (the
-        # tunnel charges a round trip per serial fetch; ~43 sequential
-        # fetches per block measured at ~84 ms each before batching).
-        fetched = jax.device_get(
-            (params, target if cfg.double else None, opt_state, ptr, size)
-        )
+        # Park device-resident state; the host handles return to the caller
+        # for ONE batched transfer across all agents (the tunnel charges a
+        # round trip per serial fetch; ~43 sequential fetches per block
+        # measured at ~84 ms each before batching).
+        self._pending = (storage, pri)
+        return (params, target if cfg.double else None, opt_state, ptr, size)
+
+    def finalize(self, fetched) -> None:
+        agent, cfg = self.agent, self.cfg
+        storage, pri = self._pending
+        self._pending = None
         agent.params = agent.host_put(fetched[0])
         if cfg.double:
             agent.target_params = agent.host_put(fetched[1])
@@ -534,10 +553,16 @@ class ReinforcePlanner:
         self._episode = []
 
     def execute(self) -> None:
+        handles = self.dispatch()
+        if handles is not None:
+            self.finalize(jax.device_get(handles))
+
+    def dispatch(self):
+        """Async phase of :meth:`execute` (see DQNPlanner.dispatch)."""
         agent = self.agent
         agent._episode = list(self._episode)
         if not self.batches:
-            return
+            return None
         N = _bucket(max(len(self.batches), self.hint), floor=16)
         pad = {k: np.zeros_like(v) for k, v in self.batches[0].items()}
         batches = self.batches + [pad] * (N - len(self.batches))
@@ -555,7 +580,10 @@ class ReinforcePlanner:
             N,
         )
         params, opt_state = fn(agent.params, agent.opt_state, stacked, valid)
-        fetched = jax.device_get((params, opt_state))
+        return (params, opt_state)
+
+    def finalize(self, fetched) -> None:
+        agent = self.agent
         agent.params = agent.host_put(fetched[0])
         agent.opt_state = agent.host_put(fetched[1])
 
@@ -748,10 +776,16 @@ class ACERPlanner:
         self._cur = []
 
     def execute(self) -> None:
+        handles = self.dispatch()
+        if handles is not None:
+            self.finalize(jax.device_get(handles))
+
+    def dispatch(self):
+        """Async phase of :meth:`execute` (see DQNPlanner.dispatch)."""
         agent = self.agent
         st = agent._device_replay
         if not self.events:
-            return
+            return None
         assert not self._cur, "device-block episodes always flush at done"
         B = _bucket(max(len(self.events), len(self.seqs), len(self.fresh),
                         self.hint, 1))
@@ -811,7 +845,13 @@ class ACERPlanner:
             jnp.asarray(st["size"], jnp.int32),
             plan,
         )
-        fetched = jax.device_get((params, opt_state, ptr, size))
+        self._pending = (storage, lengths)
+        return (params, opt_state, ptr, size)
+
+    def finalize(self, fetched) -> None:
+        agent = self.agent
+        storage, lengths = self._pending
+        self._pending = None
         agent.params = agent.host_put(fetched[0])
         agent.opt_state = agent.host_put(fetched[1])
         agent._device_replay = {

@@ -726,9 +726,22 @@ class DeviceBlockSession:
                     )
                 prev_rewards = rewards[t, g]
 
-        for planner in planners.values():
-            if planner is not None:
-                planner.execute()
+        # Two-phase replay (VERDICT r3 #7): dispatch EVERY agent's fused
+        # replay program first (async), then fetch all agents' host-needed
+        # results in ONE jax.device_get -- a single tunnel round trip per
+        # block instead of one per learner.
+        import jax as _jax
+
+        dispatched = [
+            (planner, planner.dispatch())
+            for planner in planners.values()
+            if planner is not None
+        ]
+        live = [(p, h) for p, h in dispatched if h is not None]
+        if live:
+            fetched_all = _jax.device_get(tuple(h for _, h in live))
+            for (planner, _), fetched in zip(live, fetched_all):
+                planner.finalize(fetched)
 
         t3 = _time.perf_counter()
         self.timings = {

@@ -328,7 +328,7 @@ def make_reinforce_train_step(
     actor_weight: float = 1.0,
     entropy_weight: float = 0.0,
     reward_lag: bool = True,
-    fused_grad: bool = False,
+    fused_grad: bool = True,
     axis_name: Optional[str] = None,
 ):
     """Fused self-play + REINFORCE update over every seat of G games.
@@ -337,14 +337,17 @@ def make_reinforce_train_step(
     episode gradients are averaged over the G x P seats.  ``reward_lag``
     keeps the session's lagged-reward quirk (on by default for parity).
 
-    ``fused_grad=True`` differentiates through the ROLLOUT's own policy
-    forward instead of recomputing the logits inside the loss -- the same
-    analytic loss and gradient with one fewer full forward pass over all
-    ``G*P*T*H`` candidate rows (~25% faster cycles on v5e).  Loss and
+    ``fused_grad=True`` (the DEFAULT since round 4) differentiates through
+    the ROLLOUT's own packed-row policy forward instead of recomputing the
+    logits inside the loss -- the same analytic loss and gradient, 3.3x the
+    cycles/s on v5e (12.9M vs 3.9M env-steps/s at G=4096).  Loss and
     gradients match the recompute path to float round-off (the two programs
-    associate the identical math differently); keep the default for strict
-    bit-continuity with earlier rounds, or opt in for production throughput
-    (equivalence pinned by ``tests/test_vector_runtime.py``).
+    associate the identical math differently; trajectories are identical on
+    equal keys -- equivalence pinned by ``tests/test_vector_runtime.py``),
+    and the 8-seed equal-cycle strength A/B is statistically flat
+    (``experiments/profile_ab.py``, ``results/profile_ab_r4.json``: Welch
+    t = 0.6, head-to-head 0.484 +- noise).  Pass ``fused_grad=False`` for
+    the recompute formulation that earlier rounds defaulted to.
 
     With ``axis_name`` set, gradients and metrics are ``lax.pmean``-reduced
     over that mesh axis (for use under ``shard_map``; the returned function
@@ -860,7 +863,7 @@ def make_acer_selfplay_step(
     minibatch: int = 64,
     actor_weight: float = 1.0,
     critic_weight: float = 1.0,
-    on_policy_sequences: Optional[int] = None,
+    on_policy_sequences: Optional[int] = 512,
     packed_rows: bool = False,
     axis_name: Optional[str] = None,
 ):
@@ -874,16 +877,25 @@ def make_acer_selfplay_step(
     scaled from 1 sequence to thousands per phase.
 
     ``on_policy_sequences`` bounds the on-policy phase: ``None`` trains on
-    ALL ``G*P`` fresh sequences (the historical default of this runtime),
-    while an integer ``k`` trains on a uniform without-replacement subsample
-    of ``k`` fresh sequences.  The reference's cadence trains on exactly ONE
-    fresh sequence per flush against ``minibatch`` replayed ones
-    (actor_critic.py:173-177), so the all-fresh default scales the
-    on:off-policy update ratio from 1:``minibatch`` to ``G*P``:``minibatch``;
-    subsampling (e.g. ``k = minibatch``) restores the reference's balance and
+    ALL ``G*P`` fresh sequences (the all-fresh behavior that was this
+    runtime's default through round 3), while an integer ``k`` trains on a
+    uniform without-replacement subsample of ``k`` fresh sequences.  The
+    reference's cadence trains on exactly ONE fresh sequence per flush
+    against ``minibatch`` replayed ones (actor_critic.py:173-177), so
+    all-fresh scales the on:off-policy update ratio from 1:``minibatch`` to
+    ``G*P``:``minibatch``; subsampling restores the reference's balance and
     removes the dominant structural cost of the cycle (the on-policy matmuls
-    over 16k sequences, ``experiments/micro_acer.py``).  An arena A/B between
-    the two settings is recorded in RESULTS.md (round 3).
+    over 16k sequences, ``experiments/micro_acer.py``).
+
+    DEFAULT ``512`` (the performance profile) since round 4: the 8-seed
+    equal-wall-clock A/B (``experiments/profile_ab.py``, artifact
+    ``results/profile_ab_r4.json``) has the subsampled arm better on every
+    seed (win-vs-random 0.371 vs 0.339, Welch t = 7.9; direct head-to-head
+    0.656) -- more cycles per second beats more gradient per cycle.  Pass
+    ``on_policy_sequences=None`` for the bit-continuous all-fresh profile
+    (its RNG stream is untouched by the subsample option).  For ``G*P <=
+    512`` the default IS all-fresh (``k`` clamps to the fresh count, pinned
+    bit-identical by ``test_acer_on_policy_subsample``).
 
     Signature: ``(params, opt_state, buf, key) -> (params, opt_state, buf,
     metrics)`` where ``buf`` comes from ``seq_init(capacity, max_turns,
