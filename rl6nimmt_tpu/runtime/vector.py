@@ -587,7 +587,7 @@ def make_dqn_selfplay_step(
         explore = jax.random.uniform(eps_key, greedy.shape) < eps
         return jnp.where(explore, uniform, greedy).astype(jnp.int32)
 
-    def rollout(params, key, eps):
+    def rollout(params, key, eps, store_dtype=jnp.float32):
         import dataclasses
 
         from ..nets import draw_mlp_noise, noisy_effective_params
@@ -627,13 +627,19 @@ def make_dqn_selfplay_step(
                 # noisy nets act greedily -- no epsilon branch (dqn.py:247-261)
                 actions = jnp.argmax(jnp.where(masks, q, NEG_INF), axis=-1).astype(jnp.int32)
                 state, rewards = step_batch(state, actions)
-                return state, (obs, actions, rewards.astype(jnp.float32))
+                # Stack the STORAGE dtype out of the scan: for compact int8
+                # buffers this quarters the trajectory traffic and hands the
+                # harvest a layout-flexible elementwise producer (the f32
+                # obs stays internal to the turn for the Q matmul).
+                return state, (obs.astype(store_dtype), actions, rewards.astype(jnp.float32))
 
             state, (obs, actions, rewards) = lax.scan(
                 turn, state, turn_eff, unroll=T
             )
             final_obs, _ = observe_batch(state)
-            next_obs = jnp.concatenate([obs[1:], final_obs[None]], axis=0)
+            next_obs = jnp.concatenate(
+                [obs[1:], final_obs.astype(store_dtype)[None]], axis=0
+            )
             return obs, actions, rewards, next_obs, -state.scores
 
         def turn(carry, xs):
@@ -642,7 +648,7 @@ def make_dqn_selfplay_step(
             obs, masks = observe_batch(state)
             actions = act(params, obs, masks, state.hands_sorted, sub, eps)
             state, rewards = step_batch(state, actions)
-            return state, (obs, actions, rewards.astype(jnp.float32))
+            return state, (obs.astype(store_dtype), actions, rewards.astype(jnp.float32))
 
         # unroll: frees XLA to fuse/schedule across turns (the same lever
         # that bought REINFORCE 3.3x); semantics and values unchanged.
@@ -653,7 +659,9 @@ def make_dqn_selfplay_step(
         # observation s_T (post-game state), which the reference's n-step
         # buffer bootstraps the t = T-n transition from (dqn.py:270-278).
         final_obs, _ = observe_batch(state)
-        next_obs = jnp.concatenate([obs[1:], final_obs[None]], axis=0)
+        next_obs = jnp.concatenate(
+            [obs[1:], final_obs.astype(store_dtype)[None]], axis=0
+        )
         return obs, actions, rewards, next_obs, -state.scores
 
     def to_transitions(obs, actions, rewards, next_obs):
@@ -749,7 +757,13 @@ def make_dqn_selfplay_step(
         from ..agents.dqn import learn_noise
 
         roll_key, learn_key = jax.random.split(key)
-        obs, actions, rewards, next_obs, scores = rollout(params, roll_key, eps)
+        # Stack trajectories in the replay buffer's own storage dtype
+        # (int8 for compact buffers -- exact for these integer-valued
+        # observations, see dqn_replay_example).
+        store_dtype = buf.storage["state"].dtype
+        obs, actions, rewards, next_obs, scores = rollout(
+            params, roll_key, eps, store_dtype=store_dtype
+        )
         transitions = to_transitions(obs, actions, rewards, next_obs)
         if dqn_cfg.per and per_aligned_capacity is not None:
             buf = per_add_batch_aligned(buf, transitions, per_aligned_capacity)
