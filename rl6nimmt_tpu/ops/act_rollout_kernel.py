@@ -1,0 +1,277 @@
+"""Pallas TPU kernel playing ENTIRE greedy-DQN games in VMEM.
+
+The VERDICT-r3-named "fused act-rollout": where :mod:`game_kernel` plays
+whole *random* games on-chip, this kernel plays whole *policy* games -- the
+flagship noisy-DQN act (dealing, per-turn observations, the Q-network
+forward, legal-masked greedy action choice, and the ascending-order turn
+resolution) all inside one kernel invocation, emitting the full trajectory
+(observations, actions, per-turn rewards) the DQN learn phase consumes.
+
+Design (all layouts games-last, zero explicit transposes):
+
+* Per grid block a (8, 128) tile of 1024 games lives in VMEM as int32
+  registers (board cells, row lengths, sorted hands), exactly like the
+  random game kernel.
+* The per-turn Q forward runs the noisy net's *effective weights* (one
+  [state, hidden] / [hidden, actions] pair per turn, precomputed XLA-side
+  from key-reproducible threefry noise -- ``nets.noisy_effective_params``):
+  ``lax.dot_general`` contracts the feature-major observation stack
+  ``[S, 8, 128]`` against ``w1 [S, H]`` over dim 0, so the MXU performs the
+  games->rows transposition implicitly and the hidden/adv activations come
+  out ``[8, 128, H]`` with games still on (sublane, lane).
+* Noisy nets act greedily (reference dqn.py:247-261): action = argmax over
+  the player's hand of the advantage head.  The dueling aggregation
+  ``Q = V + A - mean(A)`` shifts every action's value by a per-state
+  constant, so the masked argmax over A equals the masked argmax over Q
+  (up to float-rounding resolution of near-ties; this is a non-bit-exact
+  fast path like the random-play kernel).  The legality mask comes from
+  comparing a broadcast action-iota against the hand registers.
+* RNG: the TPU hardware PRNG deals the decks (same stream layout as
+  :func:`game_kernel._deal_in_kernel`, so ``make_deal_kernel`` with the same
+  seed reproduces this kernel's exact deals for validation); the network
+  noise stays key-reproducible because the effective weights are inputs.
+
+Outputs (per call, G games):
+
+* ``obs``   int8 ``[(T+1)*P*S, G]`` feature-major observation trajectory
+  (slot ``t*P*S + p*S + f``); slot ``T`` holds the terminal observation the
+  n-step harvest bootstraps from.  Observation entries are exact small
+  integers (pinned by ``test_observations_are_small_integers``), so int8 is
+  lossless.
+* ``actions`` int32 ``[T*P, G]`` chosen card ids.
+* ``rewards`` int32 ``[T*P, G]`` per-turn rewards (0 or -captured penalty;
+  one capture max per seat per turn, so magnitudes stay < 128).
+
+The wrapper reshapes these to the ``[T, G, P, ...]`` layout the vectorized
+DQN cycle's transition harvest expects (one XLA relayout per generation
+instead of per-turn work).
+
+Reference behavior covered: dqn.py:196-230 (legal-masked greedy act),
+nets.py:36-63/135-144 (factorized-noisy dueling forward), env.py:64-239
+(rules, via the shared ``_apply_subplay`` registers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..engine.state import EnvConfig
+from .game_kernel import _deal_in_kernel, _seed_hash
+from .step_kernel import (
+    LANES,
+    SUBLANES,
+    TILE,
+    _apply_subplay,
+    _row_aggregates,
+)
+
+NEG_INF = -1e9  # same masking constant as the XLA act path
+
+
+def _act_rollout_kernel(cfg: EnvConfig, seed_ref, w1_ref, b1_ref, wa_ref,
+                        ba_ref, obs_out, act_out, rew_out):
+    R, T, P, H, S = (cfg.num_rows, cfg.threshold, cfg.num_players,
+                     cfg.hand_size, cfg.state_length)
+    A = cfg.num_actions
+    n_turns = cfg.max_turns
+
+    pltpu.prng_seed(_seed_hash(seed_ref[0] + pl.program_id(0)))
+    board, row_len, hands = _deal_in_kernel(cfg, (SUBLANES, LANES))
+    aggr = _row_aggregates(cfg, board, row_len)
+    row_pts, row_last, row_csum = aggr
+
+    iota_a = lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES, A), 2)
+
+    # Persistent per-seat legality masks over the action axis.  Built once
+    # from the dealt hands, then maintained with ONE compare + and per played
+    # card -- the naive per-turn rebuild (one compare+or per hand slot on
+    # [8,128,A] every seat-turn) measured ~1.0 ms/generation at G=4096, ~5x
+    # the entire rest of the act path (experiments/act_rollout_ablate.py).
+    #
+    # Layout note: the action domain [8,128,A] carries games on the SUBLANE
+    # axis of its [128, A] slices, while the env registers carry games on
+    # LANES.  Broadcasting a [8,128] env register into the action domain
+    # forces a full cross-layout shuffle per op; instead ONE tiny identity
+    # contraction per seat re-lays all H hand slots at once on the MXU
+    # (``hand_sub [8,128,H]``), after which every mask compare is a cheap
+    # in-layout lane-broadcast slice.
+    eye_h = jnp.eye(H, dtype=jnp.float32)
+    legal = []
+    for p in range(P):
+        hand_f32 = jnp.stack(
+            [hands[p * H + i] for i in range(H)]
+        ).astype(jnp.float32)                                      # [H, 8, 128]
+        hand_sub = lax.dot_general(
+            hand_f32, eye_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)                                        # [8, 128, H]
+        m = jnp.zeros((SUBLANES, LANES, A), jnp.bool_)
+        for i in range(H):
+            m = m | (iota_a == hand_sub[:, :, i : i + 1])
+        legal.append(m)
+
+    def write_obs(t, p, obs_regs):
+        base = (t * P + p) * S
+        for f, reg in enumerate(obs_regs):
+            obs_out[base + f] = reg.astype(jnp.int8)
+
+    def game_features():
+        """The per-game observation features shared by every seat.
+
+        Order matches ``engine.env.observe`` (reference env.py:174-212):
+        num_players | cards/row | highest/row | points/row | board R*T.
+        """
+        regs = [jnp.full((SUBLANES, LANES), P, jnp.int32)]
+        if cfg.include_summaries:
+            regs += [row_len[r] for r in range(R)]
+            regs += [row_last[r] for r in range(R)]
+            regs += [row_pts[r] for r in range(R)]
+        regs += [board[i] for i in range(R * T)]
+        return regs
+
+    n_game = S - H  # shared game-feature count (37 by default)
+
+    for t in range(n_turns):
+        count = H - t
+        game_regs = game_features()
+        # The 37 shared features contract against their w1 rows ONCE per
+        # turn; each seat adds only its 10-row hand contribution.
+        game_f32 = jnp.stack(game_regs).astype(jnp.float32)        # [S-H, 8, 128]
+        h_game = lax.dot_general(
+            game_f32, w1_ref[t][H:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[t]                                              # [8, 128, Hd]
+
+        packed = []
+        for p in range(P):
+            hand_regs = [hands[p * H + i] for i in range(H)]
+            write_obs(t, p, hand_regs + game_regs)
+
+            # ---- Q forward on effective weights (games stay on (8,128)) ----
+            hand_f32 = jnp.stack(hand_regs).astype(jnp.float32)    # [H, 8, 128]
+            h = lax.dot_general(
+                hand_f32, w1_ref[t][:H], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + h_game                                             # [8, 128, Hd]
+            h = jnp.maximum(h, 0.0)
+            adv = lax.dot_general(
+                h, wa_ref[t], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + ba_ref[t]                                          # [8, 128, A]
+
+            # ---- legal-masked greedy argmax off the persistent mask --------
+            card = jnp.argmax(
+                jnp.where(legal[p], adv, NEG_INF), axis=2
+            ).astype(jnp.int32)                                    # [8, 128]
+            act_out[t * P + p] = card
+            legal[p] = legal[p] & (iota_a != card[:, :, None])
+
+            # ---- remove the played card from the sorted hand ---------------
+            # Slots at/after the card's position shift left (hand is sorted
+            # ascending and the card is guaranteed present).
+            for i in range(count - 1):
+                hands[p * H + i] = jnp.where(
+                    hands[p * H + i] >= card, hands[p * H + i + 1], hands[p * H + i]
+                )
+            hands[p * H + count - 1] = jnp.where(
+                hands[p * H + count - 1] >= card,
+                jnp.full_like(card, -1),
+                hands[p * H + count - 1],
+            )
+            packed.append((card << 4) | p)
+
+        # ---- ascending-order resolution (shared sub-play registers) --------
+        for i in range(P):
+            for j in range(P - 1 - i):
+                packed[j], packed[j + 1] = (
+                    jnp.minimum(packed[j], packed[j + 1]),
+                    jnp.maximum(packed[j], packed[j + 1]),
+                )
+        turn_rew = [jnp.zeros((SUBLANES, LANES), jnp.int32) for _ in range(P)]
+        for i in range(P):
+            _apply_subplay(
+                cfg, board, row_len, aggr, turn_rew,
+                packed[i] >> 4, packed[i] & jnp.int32(15),
+            )
+        for p in range(P):
+            rew_out[t * P + p] = turn_rew[p]
+
+    # Terminal observation (post-game state): the harvest's n-step bootstrap
+    # target for every tail transition (reference dqn.py:270-301).
+    game_regs = game_features()
+    for p in range(P):
+        write_obs(n_turns, p, [hands[p * H + i] for i in range(H)] + game_regs)
+
+
+@functools.lru_cache(maxsize=None)
+def make_act_rollout_kernel(cfg: EnvConfig, num_games: int,
+                            hidden: int, interpret: bool = False):
+    """Compile the fused greedy-DQN rollout.
+
+    Returns ``play(seed, w1 [T,S,hidden], b1 [T,hidden], wa [T,hidden,A],
+    ba [T,A]) -> (obs int8 [T+1, G, P, S], actions int32 [T, G, P],
+    rewards int32 [T, G, P])`` with ``T = cfg.max_turns``; block ``i`` of a
+    call uses hardware-PRNG stream ``seed + i`` (same convention as the
+    random game kernel -- space consecutive seeds by ``num_games // TILE``).
+    """
+    R, T, P, H, S = (cfg.num_rows, cfg.threshold, cfg.num_players,
+                     cfg.hand_size, cfg.state_length)
+    A = cfg.num_actions
+    n_turns = cfg.max_turns
+    G = num_games
+    assert G % TILE == 0, f"num_games={G} must be a multiple of {TILE}"
+    assert P < 16, P  # player id packs into the low 4 bits
+    grid = (G // TILE,)
+
+    kernel = functools.partial(_act_rollout_kernel, cfg)
+    blk = lambda rows, : pl.BlockSpec(
+        (rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    shaped = lambda rows, dtype: jax.ShapeDtypeStruct(
+        (rows, G // LANES, LANES), dtype
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # seed [1]
+            full((n_turns, S, hidden)),                   # w1
+            full((n_turns, hidden)),                      # b1
+            full((n_turns, hidden, A)),                   # wa
+            full((n_turns, A)),                           # ba
+        ],
+        out_specs=(blk((n_turns + 1) * P * S), blk(n_turns * P), blk(n_turns * P)),
+        out_shape=(
+            shaped((n_turns + 1) * P * S, jnp.int8),
+            shaped(n_turns * P, jnp.int32),
+            shaped(n_turns * P, jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def play(seed, w1, b1, wa, ba):
+        obs_t, act_t, rew_t = call(
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            w1.astype(jnp.float32), b1.astype(jnp.float32),
+            wa.astype(jnp.float32), ba.astype(jnp.float32),
+        )
+        # feature-major [(T+1)*P*S, G] -> [T+1, G, P, S]; ditto actions/rewards.
+        obs = obs_t.reshape(n_turns + 1, P, S, G).transpose(0, 3, 1, 2)
+        actions = act_t.reshape(n_turns, P, G).transpose(0, 2, 1)
+        rewards = rew_t.reshape(n_turns, P, G).transpose(0, 2, 1)
+        return obs, actions, rewards
+
+    return jax.jit(play)
