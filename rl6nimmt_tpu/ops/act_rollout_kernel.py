@@ -166,9 +166,16 @@ def _act_rollout_kernel(cfg: EnvConfig, seed_ref, w1_ref, b1_ref, wa_ref,
             ) + ba_ref[t]                                          # [8, 128, A]
 
             # ---- legal-masked greedy argmax off the persistent mask --------
-            card = jnp.argmax(
-                jnp.where(legal[p], adv, NEG_INF), axis=2
-            ).astype(jnp.int32)                                    # [8, 128]
+            # Per-2D-slice: a masked 3D reduce_index (argmax of where over
+            # [8,128,A]) hits a pathological Mosaic path costing ~0.6 ms per
+            # generation; the same math sliced into 8 [128,A] wheres+argmaxes
+            # costs ~0.2 (experiments/act_rollout_ablate.py, variant map in
+            # RESULTS.md).  Values identical either way.
+            cards = []
+            for s in range(SUBLANES):
+                masked_s = jnp.where(legal[p][s], adv[s], NEG_INF)
+                cards.append(jnp.argmax(masked_s, axis=1))
+            card = jnp.stack(cards).astype(jnp.int32)              # [8, 128]
             act_out[t * P + p] = card
             legal[p] = legal[p] & (iota_a != card[:, :, None])
 
