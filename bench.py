@@ -1,6 +1,7 @@
 """Headline benchmarks on one chip: env throughput + trainable throughput.
 
-Prints TWO JSON lines {"metric", "value", "unit", "vs_baseline"}:
+Prints THREE JSON lines {"metric", "value", "unit", "vs_baseline"} on TPU
+(two on CPU):
 
 1. env-steps/s of the fused random-play kernel at 4096 parallel games --
    one env step = one simultaneous-move ``step`` of one game (all players
@@ -13,6 +14,9 @@ Prints TWO JSON lines {"metric", "value", "unit", "vs_baseline"}:
    games, 256 cycles chained per dispatch (production cadence).  Guarded by
    a chained-vs-sequential bit-identity check run on this chip before
    timing.
+3. the same cycle with the fused Pallas act-rollout kernel (whole greedy
+   games in VMEM; hardware-PRNG deals, key-reproducible net noise) --
+   the non-bit-continuous fast path, labeled as such.
 
 ``vs_baseline`` is measured throughput over the BASELINE.json target of
 10M env-steps/s per chip for both lines.
@@ -73,8 +77,13 @@ def verify_kernel_exactness(cfg):
         np.testing.assert_array_equal(np.asarray(k_rewards), np.asarray(e_rewards))
 
 
-def make_trainable_cycle(cfg, num_games, chain, learn_iters=8):
-    """The flagship DQN training cycle, ``chain`` cycles per dispatch."""
+def make_trainable_cycle(cfg, num_games, chain, learn_iters=8, pallas_act=False):
+    """The flagship DQN training cycle, ``chain`` cycles per dispatch.
+
+    ``pallas_act=True`` routes the self-play rollout through the fused
+    act-rollout kernel (hardware-PRNG deals; key-reproducible net noise;
+    identical learn phase) -- the third bench line's configuration.
+    """
     import jax.numpy as jnp
     import optax
     from jax import lax
@@ -102,7 +111,10 @@ def make_trainable_cycle(cfg, num_games, chain, learn_iters=8):
     # the aligned write saves.
     example = dqn_replay_example(cfg, compact=True)
     buf = per_init(200_000, example)
-    cycle = make_dqn_selfplay_step(cfg, dqn_cfg, optimizer, num_games, learn_iters=learn_iters)
+    cycle = make_dqn_selfplay_step(
+        cfg, dqn_cfg, optimizer, num_games, learn_iters=learn_iters,
+        pallas_act_rollout=pallas_act,
+    )
 
     def multi(params, target, opt_state, buf, key, eps):
         def body(c, k):
@@ -150,14 +162,18 @@ def verify_trainable_exactness(cfg):
     assert np.all(np.isfinite(np.asarray(losses2)))
 
 
-def bench_trainable(cfg, on_tpu):
-    """Second metric line: flagship DQN training-cycle env-steps/s."""
+def bench_trainable(cfg, on_tpu, pallas_act=False):
+    """Trainable metric lines: flagship DQN training-cycle env-steps/s.
+
+    ``pallas_act=True`` posts the third line: the same cycle with the fused
+    Pallas act-rollout (non-key-reproducible deals; labeled accordingly).
+    """
     import numpy as np
 
     chain = 256 if on_tpu else 2
     iters = 5 if on_tpu else 2
     fn, _, (params, target, opt_state, buf) = make_trainable_cycle(
-        cfg, NUM_GAMES if on_tpu else 64, chain
+        cfg, NUM_GAMES if on_tpu else 64, chain, pallas_act=pallas_act
     )
     state = (params, target, opt_state, buf)
     out = fn(*state, jax.random.key(10), 0.1)  # warmup/compile
@@ -168,20 +184,22 @@ def bench_trainable(cfg, on_tpu):
         start = time.perf_counter()
         out = fn(*state, jax.random.key(11 + i), 0.1)
         state = out[:4]
-        _ = float(np.asarray(out[4])[-1])  # fetch: bounds execution
+        losses = np.asarray(out[4])  # fetch: bounds execution
         elapsed.append(time.perf_counter() - start)
+    assert np.all(np.isfinite(losses)), "non-finite losses in bench cycle"
     elapsed.sort()
     median = elapsed[iters // 2]
     games = NUM_GAMES if on_tpu else 64
     steps_per_sec = games * cfg.max_turns * chain / median
+    label = (
+        "trainable env-steps/s @ {g} games (Noisy-D3QN-PER-10step selfplay "
+        "+ 8 updates/cycle, {c} chained{suffix})"
+    ).format(g=games, c=chain,
+             suffix=", fused Pallas act-rollout" if pallas_act else "")
     print(
         json.dumps(
             {
-                "metric": (
-                    f"trainable env-steps/s @ {games} games "
-                    f"(Noisy-D3QN-PER-10step selfplay + 8 updates/cycle, "
-                    f"{chain} chained)"
-                ),
+                "metric": label,
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 4),
@@ -244,6 +262,13 @@ def main():
     # check before any number is posted.
     verify_trainable_exactness(cfg)
     bench_trainable(cfg, on_tpu)
+
+    # Third metric line (VERDICT r3 #1b): the same cycle with the fused
+    # Pallas act-rollout kernel.  Requires the real chip (Mosaic kernel);
+    # its per-component guards run in the TPU-gated suite
+    # (RL6_TEST_TPU=1 pytest tests/test_act_rollout.py).
+    if on_tpu:
+        bench_trainable(cfg, on_tpu, pallas_act=True)
 
 
 if __name__ == "__main__":

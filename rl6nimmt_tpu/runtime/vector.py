@@ -535,6 +535,7 @@ def make_dqn_selfplay_step(
     reward_lag: bool = True,
     axis_name: Optional[str] = None,
     per_aligned_capacity: Optional[int] = None,
+    pallas_act_rollout: bool = False,
 ):
     """Fused DQN self-play cycle: rollout + buffer fill + Bellman updates.
 
@@ -560,6 +561,20 @@ def make_dqn_selfplay_step(
     slice write instead of the ring's whole-buffer concat copies -- while
     eviction and sampling probabilities stay exactly ring-equivalent (see
     :func:`rl6nimmt_tpu.buffers.per.per_init_aligned`).
+
+    ``pallas_act_rollout``: route the self-play rollout through the fused
+    Pallas kernel (:mod:`rl6nimmt_tpu.ops.act_rollout_kernel`) -- whole
+    greedy games (deal, observations, Q forward on the per-turn effective
+    weights, legal-masked argmax, resolution) in one kernel invocation.
+    Requires a noisy config (greedy act, dqn.py:247-261) with one hidden
+    layer and ``num_games`` a multiple of the kernel tile.  The network
+    noise stays key-reproducible (same derivation as the XLA path); the
+    DEALS come from the TPU hardware PRNG, so trajectories are not
+    key-reproducible against the XLA rollout -- a fast path in the same
+    sense as the random-play bench kernel.  On identical deals and weights
+    the kernel's actions measured exactly equal to the XLA act path's
+    (experiments/act_rollout_probe.py); the learn phase is byte-identical
+    code either way.
     """
     spec = q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions)
     deal_batch = jax.vmap(functools.partial(deal, cfg))
@@ -568,6 +583,22 @@ def make_dqn_selfplay_step(
 
     T = cfg.max_turns
     n = dqn_cfg.n_steps
+
+    if pallas_act_rollout:
+        from ..ops.act_rollout_kernel import make_act_rollout_kernel
+        from ..ops.step_kernel import TILE
+
+        if not dqn_cfg.noisy:
+            raise ValueError(
+                "pallas_act_rollout requires a noisy config (greedy act)"
+            )
+        if len(dqn_cfg.hidden_sizes) != 1:
+            raise ValueError("pallas_act_rollout supports one hidden layer")
+        play_kernel = make_act_rollout_kernel(
+            cfg, num_games, hidden=dqn_cfg.hidden_sizes[0]
+        )
+        adv_head = 1 if dqn_cfg.dueling else 0
+        seed_stride = num_games // TILE
 
     def act(params, obs, masks, hands_sorted, key, eps):
         # obs [G, P, S] -> actions [G, P].  Epsilon-greedy path (non-noisy
@@ -663,6 +694,45 @@ def make_dqn_selfplay_step(
             [obs[1:], final_obs.astype(store_dtype)[None]], axis=0
         )
         return obs, actions, rewards, next_obs, -state.scores
+
+    def rollout_kernel(params, key, eps, store_dtype=jnp.float32):
+        """Fused-Pallas twin of ``rollout`` (noisy configs; see docstring).
+
+        Derives the per-turn effective weights from the SAME key schedule as
+        the XLA path (bit-identical noise), folds the deal key into a
+        hardware-PRNG seed, and plays all games inside the kernel.  Returns
+        the same ``(obs, actions, rewards, next_obs, scores)`` contract.
+        """
+        from ..nets import draw_mlp_noise, noisy_effective_params
+
+        del eps  # noisy nets act greedily (dqn.py:247-261)
+        key, deal_key = jax.random.split(key)
+
+        def chain(k, _):
+            k, sub = jax.random.split(k)
+            return k, sub
+
+        _, subs = lax.scan(chain, key, jnp.arange(T))
+        noise_keys = jax.vmap(lambda s: jax.random.split(s, 3)[0])(subs)
+        turn_noise = jax.vmap(lambda nk: draw_mlp_noise(spec, nk))(noise_keys)
+        turn_eff = jax.vmap(
+            lambda nz: noisy_effective_params(spec, params, nz)
+        )(turn_noise)
+        seed = jax.random.randint(
+            deal_key, (), 0, jnp.int32(2**31 - 1) - seed_stride, dtype=jnp.int32
+        )
+        obs_all, actions, rewards_i = play_kernel(
+            seed,
+            turn_eff["trunk"][0]["w"], turn_eff["trunk"][0]["b"],
+            turn_eff["heads"][adv_head]["w"], turn_eff["heads"][adv_head]["b"],
+        )
+        obs = obs_all[:T].astype(store_dtype)
+        next_obs = obs_all[1:].astype(store_dtype)
+        return obs, actions, rewards_i.astype(jnp.float32), next_obs, \
+            rewards_i.sum(axis=0)
+
+    if pallas_act_rollout:
+        rollout = rollout_kernel
 
     def to_transitions(obs, actions, rewards, next_obs):
         """n-step transitions from [T, G, P, ...] trajectories.

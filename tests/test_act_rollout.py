@@ -1,0 +1,187 @@
+"""Fused act-rollout kernel (ops/act_rollout_kernel.py).
+
+TPU-gated like the other Mosaic-kernel suites (RL6_TEST_TPU=1 on a TPU
+host).  The kernel deals from the hardware PRNG, so there is no key-for-key
+XLA trajectory twin; correctness is pinned by
+
+(a) exact structural invariants (every chosen action is in the acting
+    seat's pre-turn hand, hand counts decrement, terminal hands empty,
+    rewards non-positive),
+(b) EXACT deal parity with ``make_deal_kernel`` (shared PRNG stream), and
+(c) action/score agreement with the XLA greedy act path replayed on those
+    same deals with the same effective weights -- measured at exactly
+    1.000000 across seeds (both sides ride the same MXU matmul numerics;
+    the assertion allows a 1e-3 disagreement budget for near-tie rounding,
+    see the module docstring's dueling-argmax note).
+
+The config-validation tests at the bottom run on every platform.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec, q_values
+from rl6nimmt_tpu.engine import EnvConfig
+from rl6nimmt_tpu.engine.env import observe, step
+from rl6nimmt_tpu.engine.state import EnvState
+from rl6nimmt_tpu.nets import draw_mlp_noise, mlp_init, noisy_effective_params
+
+requires_tpu = pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="compiled Pallas kernel needs TPU; interpret mode is impractically slow",
+)
+
+CFG = EnvConfig(num_players=4)
+DQN = DQNConfig(double=True, dueling=True, noisy=True, per=True,
+                n_steps=10, hidden_sizes=(64,), minibatch=64)
+SPEC = q_network_spec(DQN, CFG.state_length, CFG.num_actions)
+
+
+def _turn_effective(params, key):
+    """The per-turn effective weights exactly as the vectorized rollout
+    derives them (runtime/vector.py rollout_kernel)."""
+    T = CFG.max_turns
+
+    def chain(k, _):
+        k, sub = jax.random.split(k)
+        return k, sub
+
+    _, subs = lax.scan(chain, key, jnp.arange(T))
+    noise_keys = jax.vmap(lambda s: jax.random.split(s, 3)[0])(subs)
+    turn_noise = jax.vmap(lambda nk: draw_mlp_noise(SPEC, nk))(noise_keys)
+    return jax.vmap(lambda nz: noisy_effective_params(SPEC, params, nz))(turn_noise)
+
+
+def _play(seed, eff, G):
+    from rl6nimmt_tpu.ops.act_rollout_kernel import make_act_rollout_kernel
+
+    play = make_act_rollout_kernel(CFG, G, hidden=SPEC.hidden_sizes[0])
+    return jax.tree.map(np.asarray, play(
+        seed,
+        eff["trunk"][0]["w"], eff["trunk"][0]["b"],
+        eff["heads"][1]["w"], eff["heads"][1]["b"],
+    ))
+
+
+@requires_tpu
+def test_structural_invariants():
+    params = mlp_init(jax.random.key(1), SPEC)
+    eff = _turn_effective(params, jax.random.key(42))
+    G, T, H = 1024, CFG.max_turns, CFG.hand_size
+    obs, actions, rewards = _play(9, eff, G)
+
+    assert obs.shape == (T + 1, G, CFG.num_players, CFG.state_length)
+    for t in range(T):
+        hand = obs[t, :, :, :H]
+        assert np.all((hand >= 0).sum(-1) == H - t)
+        assert np.all((hand == actions[t][:, :, None]).any(-1)), f"illegal at t={t}"
+    assert np.all(obs[T, :, :, :H] == -1)
+    assert np.all(rewards <= 0)
+
+
+@requires_tpu
+def test_agreement_with_xla_greedy_replay():
+    """Same deals (shared PRNG stream via make_deal_kernel), same effective
+    weights: the XLA masked-Q argmax replay must match the kernel's actions
+    and scores (allowing a tiny near-tie budget; measured 1.000000)."""
+    from rl6nimmt_tpu.ops.game_kernel import make_deal_kernel
+
+    params = mlp_init(jax.random.key(1), SPEC)
+    eff = _turn_effective(params, jax.random.key(42))
+    G, P = 1024, CFG.num_players
+    seed = 7
+    obs, actions, rewards = _play(seed, eff, G)
+
+    board_d, len_d, hands_d = make_deal_kernel(CFG, G)(seed)
+    gi = jnp.arange(G)[:, None, None]
+    pi = jnp.arange(P)[None, :, None]
+    valid = hands_d >= 0
+    hands_mask = jnp.zeros((G, P, CFG.num_cards), bool).at[
+        gi, pi, jnp.where(valid, hands_d, 0)
+    ].set(valid)
+    state = EnvState(
+        board=board_d.astype(jnp.int32), row_len=len_d.astype(jnp.int32),
+        hands=hands_mask, hands_sorted=hands_d.astype(jnp.int32),
+        scores=jnp.zeros((G, P), jnp.int32), turn=jnp.zeros((G,), jnp.int32),
+    )
+    # deal parity is EXACT by construction (shared stream) -- assert it
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(functools.partial(observe, CFG))(state)[0]),
+        obs[0].astype(np.float32),
+    )
+
+    eff_spec = dataclasses.replace(SPEC, noisy=False)
+    step_b = jax.vmap(functools.partial(step, CFG))
+    obs_b = jax.vmap(functools.partial(observe, CFG))
+
+    @jax.jit
+    def replay(state, eff):
+        def turn(st, eff_t):
+            o, masks = obs_b(st)
+            q = q_values(DQN, eff_spec, eff_t, o)
+            acts = jnp.argmax(jnp.where(masks, q, -1e9), axis=-1).astype(jnp.int32)
+            st, _ = step_b(st, acts)
+            return st, acts
+
+        st, acts = lax.scan(turn, state, eff)
+        return acts, -st.scores
+
+    xla_actions, xla_scores = jax.tree.map(np.asarray, replay(state, eff))
+    agree = (xla_actions == actions).mean()
+    assert agree > 0.999, f"action agreement {agree}"
+    assert (np.asarray(xla_scores) == rewards.sum(0)).mean() > 0.999
+
+
+@requires_tpu
+def test_selfplay_cycle_runs_and_learns():
+    """One full DQN cycle on the kernel path: finite loss, params move,
+    buffer fills with the kernel's transitions."""
+    import optax
+
+    from rl6nimmt_tpu.buffers import per_init
+    from rl6nimmt_tpu.runtime.vector import (
+        dqn_replay_example,
+        make_dqn_selfplay_step,
+    )
+
+    G = 1024
+    params = mlp_init(jax.random.key(1), SPEC)
+    target = jax.tree.map(jnp.copy, params)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    buf = per_init(200_000, dqn_replay_example(CFG, compact=True))
+    cycle = make_dqn_selfplay_step(
+        CFG, DQN, optimizer, G, learn_iters=8, pallas_act_rollout=True
+    )
+    p2, t2, o2, b2, metrics = cycle(params, target, opt_state, buf,
+                                    jax.random.key(5), 0.1)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(b2.size) == G * CFG.max_turns * CFG.num_players
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params))
+    )
+    assert -15.0 < float(metrics["mean_score"]) < -5.0
+
+
+def test_config_validation():
+    """The kernel path rejects configs whose act semantics it cannot honor
+    (runs on every platform -- validation happens before any compile)."""
+    import optax
+
+    from rl6nimmt_tpu.runtime.vector import make_dqn_selfplay_step
+
+    eps_greedy = dataclasses.replace(DQN, noisy=False)
+    with pytest.raises(ValueError, match="noisy"):
+        make_dqn_selfplay_step(CFG, eps_greedy, optax.adam(1e-3), 1024,
+                               pallas_act_rollout=True)
+    deep = dataclasses.replace(DQN, hidden_sizes=(64, 64))
+    with pytest.raises(ValueError, match="hidden"):
+        make_dqn_selfplay_step(CFG, deep, optax.adam(1e-3), 1024,
+                               pallas_act_rollout=True)
