@@ -162,6 +162,96 @@ def verify_trainable_exactness(cfg):
     assert np.all(np.isfinite(np.asarray(losses2)))
 
 
+def verify_act_rollout_exactness(cfg):
+    """In-bench guard for line 3 (VERDICT r4 #1): kernel-vs-XLA agreement.
+
+    Before the fused Pallas act-rollout may post the headline cycle number,
+    a spot-check of ``tests/test_act_rollout.py::test_agreement_with_xla_
+    greedy_replay`` runs right here: the kernel plays full greedy games from
+    its hardware-PRNG deals; the XLA masked-Q argmax path (reference act
+    semantics, dqn.py:196-230) replays the SAME deals (shared PRNG stream
+    via ``make_deal_kernel``) with the SAME per-turn effective weights, and
+    every action and final score must agree (tiny near-tie budget; measured
+    1.000000).  Raises on disagreement, exactly like the guards behind
+    lines 1-2 -- a silently-wrong kernel can never post a bench number.
+    """
+    import dataclasses
+    import functools
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec, q_values
+    from rl6nimmt_tpu.engine.env import observe, step
+    from rl6nimmt_tpu.engine.state import EnvState
+    from rl6nimmt_tpu.nets import draw_mlp_noise, mlp_init, noisy_effective_params
+    from rl6nimmt_tpu.ops.act_rollout_kernel import make_act_rollout_kernel
+    from rl6nimmt_tpu.ops.game_kernel import make_deal_kernel
+
+    dqn_cfg = DQNConfig(double=True, dueling=True, noisy=True, per=True,
+                        n_steps=10, hidden_sizes=(64,), minibatch=64)
+    spec = q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions)
+    params = mlp_init(jax.random.key(1), spec)
+
+    T = cfg.max_turns
+
+    def chain(k, _):
+        k, sub = jax.random.split(k)
+        return k, sub
+
+    _, subs = lax.scan(chain, jax.random.key(42), jnp.arange(T))
+    noise_keys = jax.vmap(lambda s: jax.random.split(s, 3)[0])(subs)
+    turn_noise = jax.vmap(lambda nk: draw_mlp_noise(spec, nk))(noise_keys)
+    eff = jax.vmap(lambda nz: noisy_effective_params(spec, params, nz))(turn_noise)
+
+    G, P, seed = 1024, cfg.num_players, 7  # one kernel tile (TILE=1024)
+    play = make_act_rollout_kernel(cfg, G, hidden=spec.hidden_sizes[0])
+    _, actions, rewards = jax.tree.map(np.asarray, play(
+        seed,
+        eff["trunk"][0]["w"], eff["trunk"][0]["b"],
+        eff["heads"][1]["w"], eff["heads"][1]["b"],
+    ))
+
+    board_d, len_d, hands_d = make_deal_kernel(cfg, G)(seed)
+    gi = jnp.arange(G)[:, None, None]
+    pi = jnp.arange(P)[None, :, None]
+    valid = hands_d >= 0
+    hands_mask = jnp.zeros((G, P, cfg.num_cards), bool).at[
+        gi, pi, jnp.where(valid, hands_d, 0)
+    ].set(valid)
+    state = EnvState(
+        board=board_d.astype(jnp.int32), row_len=len_d.astype(jnp.int32),
+        hands=hands_mask, hands_sorted=hands_d.astype(jnp.int32),
+        scores=jnp.zeros((G, P), jnp.int32), turn=jnp.zeros((G,), jnp.int32),
+    )
+
+    eff_spec = dataclasses.replace(spec, noisy=False)
+    step_b = jax.vmap(functools.partial(step, cfg))
+    obs_b = jax.vmap(functools.partial(observe, cfg))
+
+    @jax.jit
+    def replay(state, eff):
+        def turn(st, eff_t):
+            o, masks = obs_b(st)
+            q = q_values(dqn_cfg, eff_spec, eff_t, o)
+            acts = jnp.argmax(jnp.where(masks, q, -1e9), axis=-1).astype(jnp.int32)
+            st, _ = step_b(st, acts)
+            return st, acts
+
+        st, acts = lax.scan(turn, state, eff)
+        return acts, -st.scores
+
+    xla_actions, xla_scores = jax.tree.map(np.asarray, replay(state, eff))
+    agree = float((xla_actions == actions).mean())
+    score_agree = float((xla_scores == rewards.sum(0)).mean())
+    if agree <= 0.999 or score_agree <= 0.999:
+        raise AssertionError(
+            f"fused act-rollout disagrees with XLA greedy act: actions "
+            f"{agree:.6f}, scores {score_agree:.6f} -- refusing to bench"
+        )
+
+
 def bench_trainable(cfg, on_tpu, pallas_act=False):
     """Trainable metric lines: flagship DQN training-cycle env-steps/s.
 
@@ -186,7 +276,9 @@ def bench_trainable(cfg, on_tpu, pallas_act=False):
         state = out[:4]
         losses = np.asarray(out[4])  # fetch: bounds execution
         elapsed.append(time.perf_counter() - start)
-    assert np.all(np.isfinite(losses)), "non-finite losses in bench cycle"
+        # EVERY timed iteration must be finite, not just the last one (the
+        # fetch is already per-iteration, so this costs nothing extra).
+        assert np.all(np.isfinite(losses)), f"non-finite losses in bench iter {i}"
     elapsed.sort()
     median = elapsed[iters // 2]
     games = NUM_GAMES if on_tpu else 64
@@ -264,10 +356,12 @@ def main():
     bench_trainable(cfg, on_tpu)
 
     # Third metric line (VERDICT r3 #1b): the same cycle with the fused
-    # Pallas act-rollout kernel.  Requires the real chip (Mosaic kernel);
-    # its per-component guards run in the TPU-gated suite
-    # (RL6_TEST_TPU=1 pytest tests/test_act_rollout.py).
+    # Pallas act-rollout kernel.  Requires the real chip (Mosaic kernel).
+    # Guarded IN-BENCH (VERDICT r4 #1) by a kernel-vs-XLA action/score
+    # agreement check on identical deals and weights; the fuller gated
+    # suite is RL6_TEST_TPU=1 pytest tests/test_act_rollout.py.
     if on_tpu:
+        verify_act_rollout_exactness(cfg)
         bench_trainable(cfg, on_tpu, pallas_act=True)
 
 

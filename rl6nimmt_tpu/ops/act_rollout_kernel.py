@@ -49,6 +49,16 @@ instead of per-turn work).
 Reference behavior covered: dqn.py:196-230 (legal-masked greedy act),
 nets.py:36-63/135-144 (factorized-noisy dueling forward), env.py:64-239
 (rules, via the shared ``_apply_subplay`` registers).
+
+Masking assumption (shared with the XLA act path's identical ``NEG_INF``
+pattern, dqn.py:201-217): legal-action advantages must stay ``>> -1e9``.
+If every legal advantage fell below ``NEG_INF`` the masked argmax would
+pick an illegal card, and *in the kernel* that corrupts the sorted-hand
+shift/legal-mask registers for the rest of the game in VMEM (the XLA path
+merely plays the illegal card for one step).  With 47-scale integer inputs
+and Adam-scale weights, |adv| stays within a few hundred in practice; the
+structural-invariant test (every chosen action in the acting hand,
+``tests/test_act_rollout.py``) would catch a violation.
 """
 
 from __future__ import annotations

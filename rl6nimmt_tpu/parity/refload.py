@@ -26,7 +26,13 @@ def reference_available() -> bool:
 
 
 def install_stubs() -> None:
-    if "gym" not in sys.modules:
+    # Replace any earlier, poorer gym stub (a ``types.ModuleType`` has no
+    # ``__file__``; a genuinely installed gym does).  This makes the golden
+    # suites order-independent: whichever test file runs first, every later
+    # reference import sees THIS complete stub (spaces carrying ``n`` and
+    # ``shape``), not a minimal one another file happened to install.
+    existing = sys.modules.get("gym")
+    if existing is None or getattr(existing, "__file__", None) is None:
         gym = types.ModuleType("gym")
 
         class Env:
@@ -45,6 +51,7 @@ def install_stubs() -> None:
         spaces.Box = Box
         gym.Env = Env
         gym.spaces = spaces
+        gym._RL6_STUB = True
         sys.modules["gym"] = gym
         sys.modules["gym.spaces"] = spaces
 

@@ -594,6 +594,12 @@ def make_dqn_selfplay_step(
             )
         if len(dqn_cfg.hidden_sizes) != 1:
             raise ValueError("pallas_act_rollout supports one hidden layer")
+        if num_games % TILE != 0:
+            raise ValueError(
+                f"pallas_act_rollout requires num_games % {TILE} == 0 "
+                f"(got {num_games}); the kernel tiles games onto (8, 128) "
+                "VMEM blocks"
+            )
         play_kernel = make_act_rollout_kernel(
             cfg, num_games, hidden=dqn_cfg.hidden_sizes[0]
         )
@@ -702,6 +708,14 @@ def make_dqn_selfplay_step(
         the XLA path (bit-identical noise), folds the deal key into a
         hardware-PRNG seed, and plays all games inside the kernel.  Returns
         the same ``(obs, actions, rewards, next_obs, scores)`` contract.
+
+        Seed-collision caveat (PARITY.md deviation 14): the deal key is
+        compressed to an independent 31-bit base seed per cycle, so block
+        seed ranges ``[seed, seed + G/TILE)`` from different generations can
+        collide and replay identical deals -- probability ~1e-4 over a
+        256-cycle chain, unlike the XLA path's key-split independence.
+        Accepted as part of the non-bit-continuous fast path's contract; a
+        wider seed would need a second hardware-PRNG seed word.
         """
         from ..nets import draw_mlp_noise, noisy_effective_params
 

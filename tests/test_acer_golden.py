@@ -17,10 +17,8 @@ compares ``_train`` loss triples:
   layouts equivalent.
 """
 
-import importlib.util
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -34,56 +32,12 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_pkg():
-    # gym stub rich enough for env construction + Agent's space reads.
-    if "gym" not in sys.modules:
-        gym = types.ModuleType("gym")
+    # The one COMPLETE shared stub set (gym spaces with .n/.shape, numba
+    # passthrough, vendored multi_elo) -- order-independent with every other
+    # golden suite (matplotlib is real in this image; no stub needed).
+    from rl6nimmt_tpu.parity.refload import install_stubs
 
-        class Env:
-            pass
-
-        class Discrete:
-            def __init__(self, n):
-                self.n = n
-
-        class Box:
-            def __init__(self, low, high, shape=None, **kwargs):
-                self.shape = shape
-
-        spaces = types.ModuleType("gym.spaces")
-        spaces.Discrete = Discrete
-        spaces.Box = Box
-        gym.Env = Env
-        gym.spaces = spaces
-        sys.modules["gym"] = gym
-        sys.modules["gym.spaces"] = spaces
-    if "numba" not in sys.modules:
-        numba = types.ModuleType("numba")
-
-        def jit(*args, **kwargs):  # @numba.jit(nopython=True) passthrough
-            if args and callable(args[0]):
-                return args[0]
-            return lambda f: f
-
-        numba.jit = jit
-        sys.modules["numba"] = numba
-    if "matplotlib" not in sys.modules:
-        mpl = types.ModuleType("matplotlib")
-        pyplot = types.ModuleType("matplotlib.pyplot")
-        lines = types.ModuleType("matplotlib.lines")
-        lines.Line2D = object
-        mpl.pyplot = pyplot
-        mpl.lines = lines
-        sys.modules["matplotlib"] = mpl
-        sys.modules["matplotlib.pyplot"] = pyplot
-        sys.modules["matplotlib.lines"] = lines
-    if "multi_elo" not in sys.modules:
-        spec = importlib.util.spec_from_file_location(
-            "multi_elo",
-            os.path.join(os.path.dirname(__file__), "vendor", "multi_elo_reference.py"),
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        sys.modules["multi_elo"] = mod
+    install_stubs()
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     import rl_6_nimmt.agents.actor_critic as ref_ac

@@ -30,23 +30,12 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_module():
-    if "gym" not in sys.modules:
-        gym = types.ModuleType("gym")
+    # One COMPLETE shared gym stub (spaces with .n/.shape) for every golden
+    # suite, so collection order can never leave a poorer stub installed
+    # (the order-dependence VERDICT r4 reproduced).
+    from rl6nimmt_tpu.parity.refload import install_stubs
 
-        class Env:  # the reference only subclasses it
-            pass
-
-        class _Space:
-            def __init__(self, *args, **kwargs):
-                pass
-
-        spaces = types.ModuleType("gym.spaces")
-        spaces.Discrete = _Space
-        spaces.Box = _Space
-        gym.Env = Env
-        gym.spaces = spaces
-        sys.modules["gym"] = gym
-        sys.modules["gym.spaces"] = spaces
+    install_stubs()
     spec = importlib.util.spec_from_file_location("_golden_ref_env", REF_ENV)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -353,3 +342,28 @@ def test_discounted_returns_match_reference():
     ref = various.compute_discounted_returns(rewards, gamma=0.99).numpy()
     ours = np.asarray(discounted_returns(rewards, 0.99))
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_install_stubs_upgrades_poor_gym_stub():
+    """Regression for the order-dependence VERDICT r4 reproduced: a poorer
+    gym stub left by an earlier test file must be REPLACED by the complete
+    one (spaces carrying .n/.shape), never silently kept."""
+    from rl6nimmt_tpu.parity.refload import install_stubs
+
+    saved = {k: sys.modules.get(k) for k in ("gym", "gym.spaces")}
+    try:
+        poor = types.ModuleType("gym")  # no spaces, no Env -- worst case
+        sys.modules["gym"] = poor
+        sys.modules.pop("gym.spaces", None)
+        install_stubs()
+        gym = sys.modules["gym"]
+        assert gym is not poor
+        assert gym.spaces.Box(-1, 2, (47,)).shape == (47,)
+        assert gym.spaces.Discrete(104).n == 104
+        assert isinstance(type("E", (gym.Env,), {})(), gym.Env)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
