@@ -77,19 +77,23 @@ def verify_kernel_exactness(cfg):
         np.testing.assert_array_equal(np.asarray(k_rewards), np.asarray(e_rewards))
 
 
-def make_trainable_cycle(cfg, num_games, chain, learn_iters=8, pallas_act=False):
+def make_trainable_cycle(cfg, num_games, chain, learn_iters=8, pallas_act=False,
+                         feature_major=False):
     """The flagship DQN training cycle, ``chain`` cycles per dispatch.
 
     ``pallas_act=True`` routes the self-play rollout through the fused
     act-rollout kernel (hardware-PRNG deals; key-reproducible net noise;
     identical learn phase) -- the third bench line's configuration.
+    ``feature_major=True`` additionally stores replay transitions
+    feature-major (``per_init_fm``; VERDICT r4 #3), letting the kernel's
+    native trajectory flow into the insert with zero relayout.
     """
     import jax.numpy as jnp
     import optax
     from jax import lax
 
     from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec
-    from rl6nimmt_tpu.buffers import per_init
+    from rl6nimmt_tpu.buffers import per_init, per_init_fm
     from rl6nimmt_tpu.nets import mlp_init
     from rl6nimmt_tpu.runtime.vector import dqn_replay_example, make_dqn_selfplay_step
 
@@ -110,10 +114,10 @@ def make_trainable_cycle(cfg, num_games, chain, learn_iters=8, pallas_act=False)
     # priority array slows the 8 per-update stratified samples more than
     # the aligned write saves.
     example = dqn_replay_example(cfg, compact=True)
-    buf = per_init(200_000, example)
+    buf = (per_init_fm if feature_major else per_init)(200_000, example)
     cycle = make_dqn_selfplay_step(
         cfg, dqn_cfg, optimizer, num_games, learn_iters=learn_iters,
-        pallas_act_rollout=pallas_act,
+        pallas_act_rollout=pallas_act, feature_major=feature_major,
     )
 
     def multi(params, target, opt_state, buf, key, eps):
@@ -144,6 +148,35 @@ def verify_trainable_exactness(cfg):
 
     chained, cycle, (params, target, opt_state, buf) = make_trainable_cycle(
         cfg, num_games=256, chain=2, learn_iters=8
+    )
+    key, eps = jax.random.key(3), jnp.asarray(0.1)
+    (p2, t2, o2, b2, losses2) = chained(params, target, opt_state, buf, key, eps)
+
+    c = (params, target, opt_state, buf)
+    seq_losses = []
+    for k in jax.random.split(key, 2):
+        p, t, o, b, m = cycle(*c, k, eps)
+        c = (p, t, o, b)
+        seq_losses.append(m["loss"])
+    np.testing.assert_array_equal(
+        np.asarray(losses2), np.asarray(jnp.stack(seq_losses))
+    )
+    for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(c[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    assert np.all(np.isfinite(np.asarray(losses2)))
+
+
+def verify_trainable_exactness_fm(cfg):
+    """Chained-vs-sequential bit-identity for the LINE-3 cycle itself
+    (fused Pallas act-rollout + feature-major replay), mirroring
+    :func:`verify_trainable_exactness` for line 2.  Runs at the kernel's
+    minimum tile (G=1024) on the real chip; raises on any divergence."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    chained, cycle, (params, target, opt_state, buf) = make_trainable_cycle(
+        cfg, num_games=1024, chain=2, learn_iters=8, pallas_act=True,
+        feature_major=True,
     )
     key, eps = jax.random.key(3), jnp.asarray(0.1)
     (p2, t2, o2, b2, losses2) = chained(params, target, opt_state, buf, key, eps)
@@ -252,18 +285,20 @@ def verify_act_rollout_exactness(cfg):
         )
 
 
-def bench_trainable(cfg, on_tpu, pallas_act=False):
+def bench_trainable(cfg, on_tpu, pallas_act=False, feature_major=False):
     """Trainable metric lines: flagship DQN training-cycle env-steps/s.
 
     ``pallas_act=True`` posts the third line: the same cycle with the fused
-    Pallas act-rollout (non-key-reproducible deals; labeled accordingly).
+    Pallas act-rollout and (``feature_major``) feature-major replay
+    (non-key-reproducible deals; labeled accordingly).
     """
     import numpy as np
 
     chain = 256 if on_tpu else 2
     iters = 5 if on_tpu else 2
     fn, _, (params, target, opt_state, buf) = make_trainable_cycle(
-        cfg, NUM_GAMES if on_tpu else 64, chain, pallas_act=pallas_act
+        cfg, NUM_GAMES if on_tpu else 64, chain, pallas_act=pallas_act,
+        feature_major=feature_major,
     )
     state = (params, target, opt_state, buf)
     out = fn(*state, jax.random.key(10), 0.1)  # warmup/compile
@@ -283,11 +318,15 @@ def bench_trainable(cfg, on_tpu, pallas_act=False):
     median = elapsed[iters // 2]
     games = NUM_GAMES if on_tpu else 64
     steps_per_sec = games * cfg.max_turns * chain / median
+    suffix = ""
+    if pallas_act:
+        suffix = ", fused Pallas act-rollout"
+        if feature_major:
+            suffix += " + feature-major replay"
     label = (
         "trainable env-steps/s @ {g} games (Noisy-D3QN-PER-10step selfplay "
         "+ 8 updates/cycle, {c} chained{suffix})"
-    ).format(g=games, c=chain,
-             suffix=", fused Pallas act-rollout" if pallas_act else "")
+    ).format(g=games, c=chain, suffix=suffix)
     print(
         json.dumps(
             {
@@ -355,14 +394,17 @@ def main():
     verify_trainable_exactness(cfg)
     bench_trainable(cfg, on_tpu)
 
-    # Third metric line (VERDICT r3 #1b): the same cycle with the fused
-    # Pallas act-rollout kernel.  Requires the real chip (Mosaic kernel).
-    # Guarded IN-BENCH (VERDICT r4 #1) by a kernel-vs-XLA action/score
-    # agreement check on identical deals and weights; the fuller gated
-    # suite is RL6_TEST_TPU=1 pytest tests/test_act_rollout.py.
+    # Third metric line (VERDICT r3 #1b + r4 #3): the same cycle with the
+    # fused Pallas act-rollout kernel AND feature-major replay storage.
+    # Requires the real chip (Mosaic kernel).  Guarded IN-BENCH (VERDICT r4
+    # #1) by (a) a kernel-vs-XLA action/score agreement check on identical
+    # deals and weights and (b) a chained-vs-sequential bit-identity check
+    # of the exact fm cycle being timed; the fuller gated suite is
+    # RL6_TEST_TPU=1 pytest tests/test_act_rollout.py.
     if on_tpu:
         verify_act_rollout_exactness(cfg)
-        bench_trainable(cfg, on_tpu, pallas_act=True)
+        verify_trainable_exactness_fm(cfg)
+        bench_trainable(cfg, on_tpu, pallas_act=True, feature_major=True)
 
 
 if __name__ == "__main__":

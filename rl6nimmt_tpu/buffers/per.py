@@ -80,6 +80,40 @@ def per_capacity(state: PERState) -> int:
     return state.priorities.shape[0]
 
 
+def per_init_fm(capacity: int, example: Any) -> PERState:
+    """Feature-major PER buffer: the slot axis is LAST on every storage leaf.
+
+    A transition example with leaves ``state [S]`` / ``action []`` becomes
+    storage ``state [S, capacity]`` / ``action [capacity]``.  Two wins on
+    TPU over the classic leading-slot ring (``per_init``):
+
+    * the storage keeps slots on the LANE axis, so a ``[47, cap]`` int8
+      state plane uses all 128 lanes where ``[cap, 47]`` rows use 47 -- and
+      every whole-buffer move (ring-wrap folds, scan-carry copies) rides
+      full-width tiles;
+    * the fused act-rollout kernel emits its trajectory feature-major
+      (``[S, (T+1)*P, G]`` with games on lanes), which flows into
+      :func:`per_add_batch` ``slot_axis=-1`` as a pure reshape -- no
+      row-major relayout between rollout and insert (the named lever of
+      RESULTS.md's act-rollout analysis).
+
+    Priorities/ptr/size/beta semantics (replay_buffer.py:122-203) are
+    identical to :func:`per_init`; only the storage layout differs.  Use
+    ``slot_axis=-1`` on :func:`per_add_batch`/:func:`per_sample`.
+    """
+    storage = jax.tree.map(
+        lambda x: jnp.zeros(jnp.shape(x) + (capacity,), jnp.asarray(x).dtype),
+        example,
+    )
+    return PERState(
+        storage=storage,
+        priorities=jnp.zeros((capacity,), jnp.float32),
+        ptr=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+        beta=jnp.asarray(BETA0, jnp.float32),
+    )
+
+
 def per_add(state: PERState, item: Any) -> PERState:
     """Insert with max-priority (new experiences get sampled at least once)."""
     max_p = jnp.max(state.priorities)
@@ -95,18 +129,24 @@ def per_add(state: PERState, item: Any) -> PERState:
     )
 
 
-def per_add_batch(state: PERState, items: Any) -> PERState:
-    """Batch insert, all at the current max priority."""
+def per_add_batch(state: PERState, items: Any, slot_axis: int = 0) -> PERState:
+    """Batch insert, all at the current max priority.
+
+    ``slot_axis`` selects the storage slot axis: 0 for :func:`per_init`
+    buffers (leading-slot rows), -1 for :func:`per_init_fm` feature-major
+    buffers (slots on lanes; 1-D leaves coincide either way).
+    """
     from .ring import circular_write
 
-    n = jax.tree.leaves(items)[0].shape[0]
+    n = jax.tree.leaves(items)[0].shape[slot_axis]
     cap = per_capacity(state)
     if n > cap:  # duplicate write positions would drop transitions silently
         raise ValueError(f"batch of {n} transitions exceeds buffer capacity {cap}")
     max_p = jnp.max(state.priorities)
     priority = jnp.where(max_p == 0.0, ABS_ERROR_UPPER, max_p)
     storage = jax.tree.map(
-        lambda buf, x: circular_write(buf, x, state.ptr), state.storage, items
+        lambda buf, x: circular_write(buf, x, state.ptr, axis=slot_axis),
+        state.storage, items,
     )
     return PERState(
         storage=storage,
@@ -241,12 +281,14 @@ def _stratified_indices(pri: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
 
 
 def per_sample(
-    state: PERState, key: jax.Array, n: int
+    state: PERState, key: jax.Array, n: int, slot_axis: int = 0
 ) -> Tuple[PERState, jnp.ndarray, jnp.ndarray, Any]:
     """Stratified priority sample.
 
     Returns ``(state', indices, importance_weights, batch)``; the returned
-    state only differs in the annealed beta.
+    state only differs in the annealed beta.  ``slot_axis`` as in
+    :func:`per_add_batch` (-1 for feature-major storage; the batch then has
+    the minibatch axis last, e.g. ``state [S, n]``).
     """
     pri = state.priorities
     total = jnp.sum(pri)
@@ -267,7 +309,9 @@ def per_sample(
     min_prob = jnp.min(jnp.where(pri > 0.0, pri, jnp.inf)) / total
     weights = jnp.power(probs / min_prob, -beta)
 
-    batch = jax.tree.map(lambda buf: buf[idx], state.storage)
+    batch = jax.tree.map(
+        lambda buf: jnp.take(buf, idx, axis=slot_axis), state.storage
+    )
     return state._replace(beta=beta), idx, weights, batch
 
 

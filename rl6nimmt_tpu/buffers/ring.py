@@ -17,18 +17,26 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def circular_write(buf: jnp.ndarray, items: jnp.ndarray, ptr: jnp.ndarray) -> jnp.ndarray:
-    """Write ``items`` rows at positions ``(ptr + arange(n)) % cap``.
+def circular_write(
+    buf: jnp.ndarray, items: jnp.ndarray, ptr: jnp.ndarray, axis: int = 0
+) -> jnp.ndarray:
+    """Write ``items`` slots at positions ``(ptr + arange(n)) % cap`` on ``axis``.
 
-    Equivalent to ``buf.at[(ptr + arange(n)) % cap].set(items)`` but built
-    from contiguous ops: one ``dynamic_update_slice`` into a ``[cap+n]``
-    extension, then the wrapped spill is folded back over the head with a
-    static-shape select.  XLA lowers the row-scatter with wrapped indices to
-    per-row DMAs (~15x off memory bandwidth on TPU for large batches); this
-    version moves every byte in large contiguous chunks.
+    Equivalent to a per-slot scatter with wrapped indices but built from
+    contiguous ops: one ``dynamic_update_slice`` when the write fits, else
+    two static-start slice updates folding the wrapped spill over the head.
+    XLA lowers the wrapped-index scatter to per-slot DMAs (~15x off memory
+    bandwidth on TPU for large batches); this version moves every byte in
+    large contiguous chunks.
+
+    ``axis`` selects the slot axis (default 0, the classic leading-capacity
+    ring).  Feature-major replay buffers put slots LAST (``axis=-1``) so a
+    kernel's feature-major trajectory flows in without any relayout and the
+    storage keeps full lane utilization.
     """
-    n = items.shape[0]
-    cap = buf.shape[0]
+    axis = axis % buf.ndim
+    n = items.shape[axis]
+    cap = buf.shape[axis]
     # The replaced ``buf.at[idx].set(items)`` silently cast; keep that
     # contract (dynamic_update_slice itself requires exact dtype match).
     items = items.astype(buf.dtype)
@@ -38,25 +46,28 @@ def circular_write(buf: jnp.ndarray, items: jnp.ndarray, ptr: jnp.ndarray) -> jn
         # XLA can alias the buffer through scan carries.  Callers whose
         # capacity is a multiple of the insert size (e.g. the vectorized
         # ACER sequence buffer) take this branch on every insert.
-        return lax.dynamic_update_slice_in_dim(buf, items, ptr, axis=0)
+        return lax.dynamic_update_slice_in_dim(buf, items, ptr, axis=axis)
 
     def wrap(buf):
-        # In-place wrapped write as TWO static-start n-row slice updates
+        # In-place wrapped write as TWO static-start n-slot slice updates
         # (no whole-buffer concat extension): rotate the items so the spill
-        # rows lead, patch the tail window [cap-n, cap) -- preserving the
-        # not-yet-wrapped old rows under the window's head -- then patch
+        # slots lead, patch the tail window [cap-n, cap) -- preserving the
+        # not-yet-wrapped old slots under the window's head -- then patch
         # the head window [0, n) with the spill (and rewrite its untouched
-        # rows unchanged).  Every op is an n-row move and both updates can
+        # slots unchanged).  Every op is an n-slot move and both updates can
         # alias the buffer, so the cond below carries no copy-on-branch
         # buffers (the previous concat formulation cost ~0.4 ms/cycle of
         # the flagship DQN trainer in branch-boundary copies alone).
         over = ptr + n - cap  # > 0 in this branch
-        items_rot = jnp.roll(items, over, axis=0)
-        k = jnp.arange(n).reshape((n,) + (1,) * (buf.ndim - 1))
-        tail = jnp.where(k < over, buf[cap - n :], items_rot)
-        buf = lax.dynamic_update_slice_in_dim(buf, tail, cap - n, axis=0)
-        head = jnp.where(k < over, items_rot, buf[:n])
-        return lax.dynamic_update_slice_in_dim(buf, head, 0, axis=0)
+        items_rot = jnp.roll(items, over, axis=axis)
+        kshape = [1] * buf.ndim
+        kshape[axis] = n
+        k = jnp.arange(n).reshape(kshape)
+        tail = jnp.where(k < over, lax.slice_in_dim(buf, cap - n, cap, axis=axis),
+                         items_rot)
+        buf = lax.dynamic_update_slice_in_dim(buf, tail, cap - n, axis=axis)
+        head = jnp.where(k < over, items_rot, lax.slice_in_dim(buf, 0, n, axis=axis))
+        return lax.dynamic_update_slice_in_dim(buf, head, 0, axis=axis)
 
     return lax.cond(ptr + n <= cap, nowrap, wrap, buf)
 

@@ -84,8 +84,8 @@ from .step_kernel import (
 NEG_INF = -1e9  # same masking constant as the XLA act path
 
 
-def _act_rollout_kernel(cfg: EnvConfig, seed_ref, w1_ref, b1_ref, wa_ref,
-                        ba_ref, obs_out, act_out, rew_out):
+def _act_rollout_kernel(cfg: EnvConfig, feature_major: bool, seed_ref, w1_ref,
+                        b1_ref, wa_ref, ba_ref, obs_out, act_out, rew_out):
     R, T, P, H, S = (cfg.num_rows, cfg.threshold, cfg.num_players,
                      cfg.hand_size, cfg.state_length)
     A = cfg.num_actions
@@ -127,9 +127,16 @@ def _act_rollout_kernel(cfg: EnvConfig, seed_ref, w1_ref, b1_ref, wa_ref,
         legal.append(m)
 
     def write_obs(t, p, obs_regs):
-        base = (t * P + p) * S
-        for f, reg in enumerate(obs_regs):
-            obs_out[base + f] = reg.astype(jnp.int8)
+        if feature_major:
+            # Row order (f, t, p): the output reshapes to [S, (T+1)*P, G]
+            # with features leading, so the replay insert consumes it with
+            # ZERO relayout (per_init_fm storage, slots on lanes).
+            for f, reg in enumerate(obs_regs):
+                obs_out[f * (n_turns + 1) * P + t * P + p] = reg.astype(jnp.int8)
+        else:
+            base = (t * P + p) * S
+            for f, reg in enumerate(obs_regs):
+                obs_out[base + f] = reg.astype(jnp.int8)
 
     def game_features():
         """The per-game observation features shared by every seat.
@@ -228,7 +235,8 @@ def _act_rollout_kernel(cfg: EnvConfig, seed_ref, w1_ref, b1_ref, wa_ref,
 
 @functools.lru_cache(maxsize=None)
 def make_act_rollout_kernel(cfg: EnvConfig, num_games: int,
-                            hidden: int, interpret: bool = False):
+                            hidden: int, interpret: bool = False,
+                            feature_major: bool = False):
     """Compile the fused greedy-DQN rollout.
 
     Returns ``play(seed, w1 [T,S,hidden], b1 [T,hidden], wa [T,hidden,A],
@@ -236,6 +244,13 @@ def make_act_rollout_kernel(cfg: EnvConfig, num_games: int,
     rewards int32 [T, G, P])`` with ``T = cfg.max_turns``; block ``i`` of a
     call uses hardware-PRNG stream ``seed + i`` (same convention as the
     random game kernel -- space consecutive seeds by ``num_games // TILE``).
+
+    ``feature_major=True`` keeps every output in the kernel's native
+    games-on-lanes layout -- ``(obs int8 [S, (T+1)*P, G], actions int32
+    [T*P, G], rewards int32 [T*P, G])``, identical values, zero transposes
+    -- for the feature-major replay path (``per_init_fm`` storage with
+    transition columns ordered (t, p, g)).  Same hardware-PRNG deals and
+    greedy act either way.
     """
     R, T, P, H, S = (cfg.num_rows, cfg.threshold, cfg.num_players,
                      cfg.hand_size, cfg.state_length)
@@ -246,7 +261,7 @@ def make_act_rollout_kernel(cfg: EnvConfig, num_games: int,
     assert P < 16, P  # player id packs into the low 4 bits
     grid = (G // TILE,)
 
-    kernel = functools.partial(_act_rollout_kernel, cfg)
+    kernel = functools.partial(_act_rollout_kernel, cfg, feature_major)
     blk = lambda rows, : pl.BlockSpec(
         (rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
@@ -285,6 +300,14 @@ def make_act_rollout_kernel(cfg: EnvConfig, num_games: int,
             w1.astype(jnp.float32), b1.astype(jnp.float32),
             wa.astype(jnp.float32), ba.astype(jnp.float32),
         )
+        if feature_major:
+            # Native layout out: pure reshapes (the leading row axis already
+            # factors as (S, (T+1)*P) / (T*P); games stay on lanes).
+            return (
+                obs_t.reshape(S, (n_turns + 1) * P, G),
+                act_t.reshape(n_turns * P, G),
+                rew_t.reshape(n_turns * P, G),
+            )
         # feature-major [(T+1)*P*S, G] -> [T+1, G, P, S]; ditto actions/rewards.
         obs = obs_t.reshape(n_turns + 1, P, S, G).transpose(0, 3, 1, 2)
         actions = act_t.reshape(n_turns, P, G).transpose(0, 2, 1)

@@ -536,6 +536,7 @@ def make_dqn_selfplay_step(
     axis_name: Optional[str] = None,
     per_aligned_capacity: Optional[int] = None,
     pallas_act_rollout: bool = False,
+    feature_major: bool = False,
 ):
     """Fused DQN self-play cycle: rollout + buffer fill + Bellman updates.
 
@@ -575,6 +576,24 @@ def make_dqn_selfplay_step(
     the kernel's actions measured exactly equal to the XLA act path's
     (experiments/act_rollout_probe.py); the learn phase is byte-identical
     code either way.
+
+    ``feature_major``: store replay transitions feature-major (VERDICT r4
+    #3) -- the buffer must come from ``per_init_fm`` and holds ``state``
+    as ``[S, cap]`` with transition slots on the LANE axis, column order
+    (t, p, g).  With ``pallas_act_rollout`` the kernel emits its trajectory
+    in exactly this layout, so harvest + insert are pure reshapes/copies
+    with no row-major relayout and the storage keeps full 128-lane tiles
+    (a ``[cap, 47]`` row layout uses 47 lanes).  Works with the XLA rollout
+    too (an adapter transposes; useful for CPU-testable equivalence, not
+    for speed).  Learn math is unchanged -- the 64 sampled columns are
+    transposed back to rows (identical values; pinned by
+    ``tests/test_vector_runtime.py::test_feature_major_*``).  Requires a
+    PER config.  Insert-order note: transition slots land in (t, p, g)
+    order vs the row-major path's (t, g, p) -- the same multiset of
+    transitions per cycle, in a different (equally arbitrary) slot order,
+    so PER's stratified draws differ numerically between the two layouts
+    like any resampling; neither order is semantically privileged
+    (reference inserts are game-loop ordered, dqn.py:87-109).
     """
     spec = q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions)
     deal_batch = jax.vmap(functools.partial(deal, cfg))
@@ -583,6 +602,13 @@ def make_dqn_selfplay_step(
 
     T = cfg.max_turns
     n = dqn_cfg.n_steps
+
+    if feature_major and not dqn_cfg.per:
+        raise ValueError("feature_major replay requires a PER config "
+                         "(per_init_fm storage)")
+    if feature_major and per_aligned_capacity is not None:
+        raise ValueError("feature_major uses the ring PER layout; "
+                         "per_aligned_capacity is not supported")
 
     if pallas_act_rollout:
         from ..ops.act_rollout_kernel import make_act_rollout_kernel
@@ -601,7 +627,8 @@ def make_dqn_selfplay_step(
                 "VMEM blocks"
             )
         play_kernel = make_act_rollout_kernel(
-            cfg, num_games, hidden=dqn_cfg.hidden_sizes[0]
+            cfg, num_games, hidden=dqn_cfg.hidden_sizes[0],
+            feature_major=feature_major,
         )
         adv_head = 1 if dqn_cfg.dueling else 0
         seed_stride = num_games // TILE
@@ -740,6 +767,11 @@ def make_dqn_selfplay_step(
             turn_eff["trunk"][0]["w"], turn_eff["trunk"][0]["b"],
             turn_eff["heads"][adv_head]["w"], turn_eff["heads"][adv_head]["b"],
         )
+        if feature_major:
+            # Native kernel layout through to the insert: obs int8
+            # [S, (T+1)*P, G], actions/rewards [T*P, G] -- the fm cycle
+            # consumes this raw triple (to_transitions_fm), no relayout.
+            return obs_all, actions, rewards_i
         obs = obs_all[:T].astype(store_dtype)
         next_obs = obs_all[1:].astype(store_dtype)
         return obs, actions, rewards_i.astype(jnp.float32), next_obs, \
@@ -747,6 +779,20 @@ def make_dqn_selfplay_step(
 
     if pallas_act_rollout:
         rollout = rollout_kernel
+
+    def row_major_to_fm(obs, actions, rewards, next_obs):
+        """Adapter: [T, G, P, ...] trajectories -> the fm raw-triple contract.
+
+        Pays the transposes the kernel path avoids; exists so the
+        feature-major cycle is exercisable with the XLA rollout (CPU tests,
+        non-noisy configs), not for speed.
+        """
+        P, S = cfg.num_players, cfg.state_length
+        traj = jnp.concatenate([obs, next_obs[T - 1 : T]], axis=0)  # [T+1,G,P,S]
+        obs_fm = traj.transpose(3, 0, 2, 1).reshape(S, (T + 1) * P, num_games)
+        actions_fm = actions.transpose(0, 2, 1).reshape(T * P, num_games)
+        rewards_fm = rewards.transpose(0, 2, 1).reshape(T * P, num_games)
+        return obs_fm, actions_fm, rewards_fm
 
     def to_transitions(obs, actions, rewards, next_obs):
         """n-step transitions from [T, G, P, ...] trajectories.
@@ -791,6 +837,51 @@ def make_dqn_selfplay_step(
             "done": flat(done.astype(jnp.float32)),
         }
 
+    def to_transitions_fm(obs_fm, actions_fm, rewards_fm):
+        """n-step transitions in feature-major layout, columns ordered (t, p, g).
+
+        Same n-step math as :func:`to_transitions` (reference dqn.py:264-301
+        semantics: truncated discounted sums, terminal bootstrap, done-tail
+        flush) on the kernel's raw layout -- ``obs_fm [S, (T+1)*P, G]``,
+        ``actions_fm/rewards_fm [T*P, G]``.  Every output is a slice,
+        reshape, or broadcast of the inputs; games never leave the lane
+        axis, so the transition dict drops into ``per_add_batch(slot_axis=
+        -1)`` with zero relayouts.
+        """
+        P, S, G = cfg.num_players, cfg.state_length, num_games
+        N = T * P * G
+        rew = rewards_fm.reshape(T, P, G).astype(jnp.float32)
+        if reward_lag:
+            rew = lag_rewards(rew)
+        padded = (
+            jnp.concatenate([rew, jnp.zeros((n - 1, P, G), rew.dtype)], axis=0)
+            if n > 1 else rew
+        )
+        disc = jnp.asarray([gamma**i for i in range(n)], rew.dtype)
+        R = sum(disc[i] * padded[i : i + T] for i in range(n))       # [T, P, G]
+        obs_r = obs_fm.reshape(S, T + 1, P, G)
+        state = obs_fm[:, : T * P, :].reshape(S, N)
+        if n >= T:
+            next_states = jnp.broadcast_to(
+                obs_r[:, T:, :, :], (S, T, P, G)
+            ).reshape(S, N)
+        elif n > 1:
+            idx_next = jnp.minimum(jnp.arange(T) + n, T)
+            next_states = obs_r[:, idx_next, :, :].reshape(S, N)
+        else:
+            next_states = obs_r[:, 1:, :, :].reshape(S, N)
+        tail_start = (T - n + 1) if n > 1 else (T - 1)
+        done = jnp.broadcast_to(
+            (jnp.arange(T) >= tail_start)[:, None, None], (T, P, G)
+        )
+        return {
+            "state": state,
+            "action": actions_fm.reshape(N),
+            "reward": R.reshape(N),
+            "next_state": next_states,
+            "done": done.reshape(N).astype(jnp.float32),
+        }
+
     # ONE Bellman implementation: the host learner's fused step (same
     # double/dueling/noisy/PER math, soft-update gated on do_soft_update) --
     # duplicated copies had already drifted on the retrain_interval cadence.
@@ -801,7 +892,10 @@ def make_dqn_selfplay_step(
         params, target_params, opt_state, buf = carry
         sample_key, learn_key = jax.random.split(key)
         if dqn_cfg.per:
-            buf, idx, weights, batch = per_sample(buf, sample_key, dqn_cfg.minibatch)
+            buf, idx, weights, batch = per_sample(
+                buf, sample_key, dqn_cfg.minibatch,
+                slot_axis=-1 if feature_major else 0,
+            )
         else:
             idx, batch = ring_sample(buf, sample_key, dqn_cfg.minibatch)
             weights = jnp.ones(dqn_cfg.minibatch, jnp.float32)
@@ -815,12 +909,15 @@ def make_dqn_selfplay_step(
         # Upcast compact (int8) storage to the learn dtypes on the 64
         # gathered rows; no-ops for a full-precision buffer.  Stored values
         # are exact small integers, so this is bit-identical either way
-        # (dqn_replay_example).
+        # (dqn_replay_example).  Feature-major batches arrive [S, 64];
+        # the tiny transpose back to rows feeds the unchanged learn math
+        # (identical matmul values).
+        tr = (lambda x: x.T) if feature_major else (lambda x: x)
         batch = {
-            "state": batch["state"].astype(jnp.float32),
+            "state": tr(batch["state"].astype(jnp.float32)),
             "action": batch["action"].astype(jnp.int32),
             "reward": batch["reward"].astype(jnp.float32),
-            "next_state": batch["next_state"].astype(jnp.float32),
+            "next_state": tr(batch["next_state"].astype(jnp.float32)),
             "done": batch["done"].astype(jnp.float32),
         }
         batch = dict(batch, weights=weights)
@@ -845,16 +942,34 @@ def make_dqn_selfplay_step(
         # (int8 for compact buffers -- exact for these integer-valued
         # observations, see dqn_replay_example).
         store_dtype = buf.storage["state"].dtype
-        obs, actions, rewards, next_obs, scores = rollout(
-            params, roll_key, eps, store_dtype=store_dtype
-        )
-        transitions = to_transitions(obs, actions, rewards, next_obs)
-        if dqn_cfg.per and per_aligned_capacity is not None:
-            buf = per_add_batch_aligned(buf, transitions, per_aligned_capacity)
-        elif dqn_cfg.per:
-            buf = per_add_batch(buf, transitions)
+        if feature_major:
+            if pallas_act_rollout:
+                obs_fm, actions_fm, rewards_fm = rollout(
+                    params, roll_key, eps, store_dtype=store_dtype
+                )
+            else:
+                obs, actions, rewards, next_obs, _ = rollout(
+                    params, roll_key, eps, store_dtype=store_dtype
+                )
+                obs_fm, actions_fm, rewards_fm = row_major_to_fm(
+                    obs, actions, rewards, next_obs
+                )
+            transitions = to_transitions_fm(obs_fm, actions_fm, rewards_fm)
+            buf = per_add_batch(buf, transitions, slot_axis=-1)
+            scores = rewards_fm.reshape(T, cfg.num_players, num_games).astype(
+                jnp.float32
+            ).sum(axis=0)
         else:
-            buf = ring_add_batch(buf, transitions)
+            obs, actions, rewards, next_obs, scores = rollout(
+                params, roll_key, eps, store_dtype=store_dtype
+            )
+            transitions = to_transitions(obs, actions, rewards, next_obs)
+            if dqn_cfg.per and per_aligned_capacity is not None:
+                buf = per_add_batch_aligned(buf, transitions, per_aligned_capacity)
+            elif dqn_cfg.per:
+                buf = per_add_batch(buf, transitions)
+            else:
+                buf = ring_add_batch(buf, transitions)
         learn_keys = jax.random.split(learn_key, learn_iters)
         if dqn_cfg.noisy:
             # Batch every update's noisy draws into one pass (bit-identical

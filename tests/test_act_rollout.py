@@ -185,3 +185,69 @@ def test_config_validation():
     with pytest.raises(ValueError, match="hidden"):
         make_dqn_selfplay_step(CFG, deep, optax.adam(1e-3), 1024,
                                pallas_act_rollout=True)
+
+
+@requires_tpu
+def test_feature_major_kernel_outputs_match_row_major():
+    """feature_major=True is a pure relabeling: same seed -> identical deals,
+    actions, rewards, and observations, just in the native [S, (T+1)*P, G] /
+    [T*P, G] layout (games stay on lanes; zero transposes)."""
+    from rl6nimmt_tpu.ops.act_rollout_kernel import make_act_rollout_kernel
+
+    params = mlp_init(jax.random.key(1), SPEC)
+    eff = _turn_effective(params, jax.random.key(42))
+    G, T, P, S = 1024, CFG.max_turns, CFG.num_players, CFG.state_length
+    args = (7, eff["trunk"][0]["w"], eff["trunk"][0]["b"],
+            eff["heads"][1]["w"], eff["heads"][1]["b"])
+
+    rm = make_act_rollout_kernel(CFG, G, hidden=SPEC.hidden_sizes[0])
+    fm = make_act_rollout_kernel(CFG, G, hidden=SPEC.hidden_sizes[0],
+                                 feature_major=True)
+    obs_rm, act_rm, rew_rm = jax.tree.map(np.asarray, rm(*args))
+    obs_fm, act_fm, rew_fm = jax.tree.map(np.asarray, fm(*args))
+
+    assert obs_fm.shape == (S, (T + 1) * P, G)
+    assert act_fm.shape == rew_fm.shape == (T * P, G)
+    # fm[f, t*P+p, g] == rm[t, g, p, f]
+    np.testing.assert_array_equal(
+        obs_fm.reshape(S, T + 1, P, G).transpose(1, 3, 2, 0), obs_rm
+    )
+    np.testing.assert_array_equal(
+        act_fm.reshape(T, P, G).transpose(0, 2, 1), act_rm
+    )
+    np.testing.assert_array_equal(
+        rew_fm.reshape(T, P, G).transpose(0, 2, 1), rew_rm
+    )
+
+
+@requires_tpu
+def test_feature_major_selfplay_cycle_runs_and_learns():
+    """The fm cycle on the kernel path (bench line 3 configuration with
+    feature-major replay): finite loss, params move, buffer fills."""
+    import optax
+
+    from rl6nimmt_tpu.buffers import per_init_fm
+    from rl6nimmt_tpu.runtime.vector import (
+        dqn_replay_example,
+        make_dqn_selfplay_step,
+    )
+
+    G = 1024
+    params = mlp_init(jax.random.key(1), SPEC)
+    target = jax.tree.map(jnp.copy, params)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    buf = per_init_fm(200_000, dqn_replay_example(CFG, compact=True))
+    cycle = make_dqn_selfplay_step(
+        CFG, DQN, optimizer, G, learn_iters=8, pallas_act_rollout=True,
+        feature_major=True,
+    )
+    p2, t2, o2, b2, metrics = cycle(params, target, opt_state, buf,
+                                    jax.random.key(5), 0.1)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(b2.size) == G * CFG.max_turns * CFG.num_players
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params))
+    )
+    assert -15.0 < float(metrics["mean_score"]) < -5.0

@@ -374,3 +374,66 @@ def test_per_aligned_validates_shapes():
     with pytest.raises(ValueError):
         # 16 % 4 == 0 but phys=16 >= cap+n=14: block doesn't match the init.
         per_add_batch_aligned(state, {"x": jnp.zeros(4)}, 10)
+
+
+def test_circular_write_axis_last_matches_axis0():
+    """circular_write(axis=-1) is the exact transpose of axis=0 on both the
+    in-place and the wrapped branch (feature-major storage foundation)."""
+    from rl6nimmt_tpu.buffers.ring import circular_write
+
+    rng = np.random.RandomState(3)
+    buf0 = jnp.asarray(rng.randn(11, 5).astype(np.float32))
+    items = jnp.asarray(rng.randn(4, 5).astype(np.float32))
+    for ptr in (0, 3, 7, 9, 10):  # 9, 10 wrap
+        rm = circular_write(buf0, items, jnp.asarray(ptr, jnp.int32))
+        fm = circular_write(buf0.T, items.T, jnp.asarray(ptr, jnp.int32), axis=-1)
+        np.testing.assert_array_equal(np.asarray(rm), np.asarray(fm).T)
+
+
+def test_per_fm_matches_row_major_buffer():
+    """A feature-major PER buffer (slots last) behaves identically to the
+    classic ring: same priorities, same stratified draws under the same key,
+    same sampled transitions (transposed), same priority write-back."""
+    from rl6nimmt_tpu.buffers import per_add_batch, per_init_fm
+
+    ex = example_item()
+    cap = 64
+    rm = per_init(cap, ex)
+    fm = per_init_fm(cap, ex)
+
+    rng = np.random.RandomState(11)
+    for it in range(3):  # 3 x 24 rows: second/third inserts wrap the ring
+        n = 24
+        rows = {
+            "state": jnp.asarray(rng.randint(-1, 104, size=(n, 47)), jnp.float32),
+            "action": jnp.asarray(rng.randint(0, 104, size=(n,)), jnp.int32),
+            "reward": jnp.asarray(rng.randn(n), jnp.float32),
+        }
+        cols = {
+            "state": rows["state"].T,
+            "action": rows["action"],
+            "reward": rows["reward"],
+        }
+        rm = per_add_batch(rm, rows)
+        fm = per_add_batch(fm, cols, slot_axis=-1)
+        np.testing.assert_array_equal(np.asarray(rm.priorities), np.asarray(fm.priorities))
+        assert int(rm.ptr) == int(fm.ptr) and int(rm.size) == int(fm.size)
+        np.testing.assert_array_equal(
+            np.asarray(rm.storage["state"]), np.asarray(fm.storage["state"]).T
+        )
+
+        key = jax.random.key(100 + it)
+        rm, idx_rm, w_rm, batch_rm = per_sample(rm, key, 8)
+        fm, idx_fm, w_fm, batch_fm = per_sample(fm, key, 8, slot_axis=-1)
+        np.testing.assert_array_equal(np.asarray(idx_rm), np.asarray(idx_fm))
+        np.testing.assert_array_equal(np.asarray(w_rm), np.asarray(w_fm))
+        np.testing.assert_array_equal(
+            np.asarray(batch_rm["state"]), np.asarray(batch_fm["state"]).T
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batch_rm["reward"]), np.asarray(batch_fm["reward"])
+        )
+        errs = jnp.asarray(rng.random(8), jnp.float32)
+        rm = per_update(rm, idx_rm, errs)
+        fm = per_update(fm, idx_fm, errs)
+        np.testing.assert_array_equal(np.asarray(rm.priorities), np.asarray(fm.priorities))

@@ -563,3 +563,114 @@ def test_observations_are_small_integers():
     obs, _ = obs_b(state)
     o = np.asarray(obs)
     assert np.array_equal(o, np.round(o)) and o.min() >= -1 and o.max() <= 104
+
+
+def test_feature_major_transition_multiset_matches_row_major():
+    """The feature-major cycle (VERDICT r4 #3) stores the SAME multiset of
+    transitions as the row-major cycle from identical trajectories -- slot
+    order is (t, p, g) vs (t, g, p), an equally arbitrary permutation.
+    Integer fields match exactly; the n-step reward is compared with a
+    float tolerance (layout-dependent FMA fusion shifts it 1-2 ULP)."""
+    from rl6nimmt_tpu.buffers import per_init_fm
+    from rl6nimmt_tpu.runtime.vector import dqn_replay_example, make_dqn_selfplay_step
+
+    dqn_cfg = DQNConfig(double=True, dueling=True, noisy=True, per=True,
+                        n_steps=10, hidden_sizes=(16,), minibatch=16)
+    spec = q_network_spec(dqn_cfg, CFG.state_length, CFG.num_actions)
+    params = mlp_init(jax.random.key(1), spec)
+    target = jax.tree.map(jnp.copy, params)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    G = 16
+    ex = dqn_replay_example(CFG, compact=True)
+
+    cyc_rm = make_dqn_selfplay_step(CFG, dqn_cfg, optimizer, G, learn_iters=2)
+    cyc_fm = make_dqn_selfplay_step(CFG, dqn_cfg, optimizer, G, learn_iters=2,
+                                    feature_major=True)
+    key, eps = jax.random.key(5), jnp.asarray(0.1)
+    p1, t1, o1, b1, m1 = cyc_rm(params, target, opt_state, per_init(4096, ex),
+                                key, eps)
+    p2, t2, o2, b2, m2 = cyc_fm(params, target, opt_state, per_init_fm(4096, ex),
+                                key, eps)
+    assert np.isfinite(float(m2["loss"]))
+    np.testing.assert_allclose(float(m1["mean_score"]), float(m2["mean_score"]),
+                               rtol=1e-6)
+    # fm learn updates move the params
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params))
+    )
+
+    N = CFG.max_turns * G * CFG.num_players
+
+    def rows_of(buf, fm):
+        # fm leaves keep slots LAST: 2-D leaves are [S, cap], scalars [cap].
+        g = (lambda leaf, sl: np.asarray(leaf[..., :sl]).T) if fm else (
+            lambda leaf, sl: np.asarray(leaf[:sl]))
+        return np.concatenate([
+            g(buf.storage["state"], N).astype(np.int32),
+            g(buf.storage["action"], N).astype(np.int32)[:, None],
+            np.round(g(buf.storage["reward"], N).astype(np.float64), 3)[:, None],
+            g(buf.storage["next_state"], N).astype(np.int32),
+            g(buf.storage["done"], N).astype(np.int32)[:, None],
+        ], axis=1)
+
+    rm_rows, fm_rows = rows_of(b1, False), rows_of(b2, True)
+    order = lambda r: r[np.lexsort(r.T[::-1])]
+    np.testing.assert_allclose(order(rm_rows), order(fm_rows), atol=2e-3)
+
+
+def test_feature_major_chained_matches_sequential():
+    """Chained fm cycles (the bench line 3 cadence) are bit-identical to
+    sequential dispatches -- the same guard style that pins line 2."""
+    from jax import lax
+
+    from rl6nimmt_tpu.buffers import per_init_fm
+    from rl6nimmt_tpu.runtime.vector import dqn_replay_example, make_dqn_selfplay_step
+
+    dqn_cfg = DQNConfig(double=True, dueling=True, noisy=True, per=True,
+                        n_steps=10, hidden_sizes=(16,), minibatch=16)
+    spec = q_network_spec(dqn_cfg, CFG.state_length, CFG.num_actions)
+    params = mlp_init(jax.random.key(60), spec)
+    target = jax.tree.map(jnp.copy, params)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    buf = per_init_fm(2048, dqn_replay_example(CFG, compact=True))
+    cycle = make_dqn_selfplay_step(CFG, dqn_cfg, optimizer, num_games=8,
+                                   learn_iters=2, feature_major=True)
+
+    keys = jax.random.split(jax.random.key(61), 3)
+    eps = jnp.asarray(0.2)
+    seq = (params, target, opt_state, buf)
+    for k in keys:
+        seq = cycle(*seq, k, eps)[:4]
+
+    def chained(params, target, opt_state, buf):
+        def body(c, k):
+            p, t, o, b, m = cycle(*c, k, eps)
+            return (p, t, o, b), m["loss"]
+        carry, _ = lax.scan(body, (params, target, opt_state, buf), keys)
+        return carry
+
+    chain = jax.jit(chained)(params, target, opt_state, buf)
+    for a, b in zip(jax.tree.leaves(seq[0]), jax.tree.leaves(chain[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(seq[3].storage["state"]), np.asarray(chain[3].storage["state"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(seq[3].priorities), np.asarray(chain[3].priorities)
+    )
+
+
+def test_feature_major_validation():
+    from rl6nimmt_tpu.runtime.vector import make_dqn_selfplay_step
+
+    no_per = DQNConfig(double=True, hidden_sizes=(16,), minibatch=16)
+    with pytest.raises(ValueError, match="PER"):
+        make_dqn_selfplay_step(CFG, no_per, optax.adam(1e-3), 8,
+                               feature_major=True)
+    per_cfg = DQNConfig(per=True, hidden_sizes=(16,), minibatch=16)
+    with pytest.raises(ValueError, match="aligned"):
+        make_dqn_selfplay_step(CFG, per_cfg, optax.adam(1e-3), 8,
+                               feature_major=True, per_aligned_capacity=1024)
