@@ -92,20 +92,82 @@ def main():
     parser.add_argument("--games", type=int, default=1000)
     parser.add_argument("--block", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--pairs", type=int, default=0,
+                        help=">0: interleaved A/B pairs with mean +/- CI "
+                             "(VERDICT r4 #4); each pair runs both arms, "
+                             "order alternating, --games games per segment")
     parser.add_argument("--out", default="experiments/results/device_learn_speedup.json")
     args = parser.parse_args()
 
-    results = {}
-    for dl in (False, True):
-        label = "device" if dl else "host"
-        print(f"=== {label} learning: {args.games} games ===", flush=True)
-        results[label] = run(dl, args.games, args.block, args.seed)
-        print(json.dumps(results[label]), flush=True)
+    if not args.pairs:
+        results = {}
+        for dl in (False, True):
+            label = "device" if dl else "host"
+            print(f"=== {label} learning: {args.games} games ===", flush=True)
+            results[label] = run(dl, args.games, args.block, args.seed)
+            print(json.dumps(results[label]), flush=True)
 
-    results["speedup"] = round(
-        results["host"]["wall_s"] / results["device"]["wall_s"], 3
+        results["speedup"] = round(
+            results["host"]["wall_s"] / results["device"]["wall_s"], 3
+        )
+        print(json.dumps({"speedup_host_over_device": results["speedup"]}))
+        Path(args.out).write_text(json.dumps(results, indent=1))
+        return
+
+    # ---- interleaved A/B with statistics (VERDICT r4 #4) ----------------
+    # Each pair runs BOTH arms back to back on the same chip, alternating
+    # order so tunnel/day drift cancels in the pairwise ratios.  Per-arm
+    # mean +/- 95% CI (t-distribution over the per-segment ms/game) and a
+    # CI over the per-pair speedup ratios; the verdict gate is whether the
+    # ratio CI excludes 1.0.
+    T_95 = {2: 12.71, 3: 4.303, 4: 3.182, 5: 2.776, 6: 2.571, 7: 2.447,
+            8: 2.365, 9: 2.306, 10: 2.262}
+
+    def ci95(xs):
+        xs = np.asarray(xs, np.float64)
+        m = float(xs.mean())
+        if len(xs) < 2:
+            return m, float("nan")
+        t = T_95.get(len(xs) - 1, 1.96)
+        return m, float(t * xs.std(ddof=1) / np.sqrt(len(xs)))
+
+    segments = {"host": [], "device": []}
+    details = {"host": [], "device": []}
+    for pair in range(args.pairs):
+        order = (False, True) if pair % 2 == 0 else (True, False)
+        for dl in order:
+            label = "device" if dl else "host"
+            r = run(dl, args.games, args.block, args.seed + pair)
+            segments[label].append(r["ms_per_game"])
+            details[label].append(r)
+            print(f"pair {pair} {label}: {r['ms_per_game']} ms/game "
+                  f"(splits {r['splits_s']})", flush=True)
+
+    host_m, host_ci = ci95(segments["host"])
+    dev_m, dev_ci = ci95(segments["device"])
+    ratios = [h / d for h, d in zip(segments["host"], segments["device"])]
+    ratio_m, ratio_ci = ci95(ratios)
+    verdict = (
+        "device faster (CI excludes 1.0)" if ratio_m - ratio_ci > 1.0
+        else "host faster (CI excludes 1.0)" if ratio_m + ratio_ci < 1.0
+        else "statistical tie (CI includes 1.0)"
     )
-    print(json.dumps({"speedup_host_over_device": results["speedup"]}))
+    results = {
+        "pairs": args.pairs,
+        "games_per_segment": args.games,
+        "block": args.block,
+        "host_ms_per_game": {"mean": round(host_m, 2), "ci95": round(host_ci, 2),
+                             "all": segments["host"]},
+        "device_ms_per_game": {"mean": round(dev_m, 2), "ci95": round(dev_ci, 2),
+                               "all": segments["device"]},
+        "speedup_host_over_device": {"mean": round(ratio_m, 3),
+                                     "ci95": round(ratio_ci, 3),
+                                     "all": [round(r, 3) for r in ratios]},
+        "verdict": verdict,
+        "detail": details,
+    }
+    print(json.dumps({k: v for k, v in results.items() if k != "detail"},
+                     indent=1), flush=True)
     Path(args.out).write_text(json.dumps(results, indent=1))
 
 
