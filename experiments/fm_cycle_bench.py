@@ -25,13 +25,13 @@ import rl6nimmt_tpu
 rl6nimmt_tpu.enable_compilation_cache()
 
 from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec
-from rl6nimmt_tpu.buffers import per_init, per_init_fm
+from rl6nimmt_tpu.buffers import per_init, per_init_aligned_fm, per_init_fm
 from rl6nimmt_tpu.engine import EnvConfig
 from rl6nimmt_tpu.nets import mlp_init
 from rl6nimmt_tpu.runtime.vector import dqn_replay_example, make_dqn_selfplay_step
 
 
-def build(cfg, num_games, chain, pallas, fm):
+def build(cfg, num_games, chain, pallas, fm, aligned=False):
     dqn_cfg = DQNConfig(double=True, dueling=True, noisy=True, per=True,
                         n_steps=10, hidden_sizes=(64,), minibatch=64)
     spec = q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions)
@@ -40,10 +40,16 @@ def build(cfg, num_games, chain, pallas, fm):
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
     example = dqn_replay_example(cfg, compact=True)
-    buf = (per_init_fm if fm else per_init)(200_000, example)
+    cap = 200_000
+    insert = num_games * cfg.max_turns * cfg.num_players
+    if aligned:
+        buf = per_init_aligned_fm(cap, insert, example)
+    else:
+        buf = (per_init_fm if fm else per_init)(cap, example)
     cycle = make_dqn_selfplay_step(
         cfg, dqn_cfg, optimizer, num_games, learn_iters=8,
         pallas_act_rollout=pallas, feature_major=fm,
+        per_aligned_capacity=cap if aligned else None,
     )
 
     def multi(params, target, opt_state, buf, key, eps):
@@ -71,6 +77,8 @@ def main():
         "xla": build(cfg, args.games, args.chain, False, False),
         "pallas_rm": build(cfg, args.games, args.chain, True, False),
         "pallas_fm": build(cfg, args.games, args.chain, True, True),
+        "pallas_fm_aligned": build(cfg, args.games, args.chain, True, True,
+                                   aligned=True),
     }
     eps = jnp.asarray(0.1)
     states = {}

@@ -194,7 +194,26 @@ def per_init_aligned(capacity: int, insert_block: int, example: Any) -> PERState
     return per_init(phys, example)
 
 
-def per_add_batch_aligned(state: PERState, items: Any, capacity: int) -> PERState:
+def per_init_aligned_fm(capacity: int, insert_block: int, example: Any) -> PERState:
+    """Feature-major twin of :func:`per_init_aligned` (slot axis LAST).
+
+    Same block-aligned physical layout and ring-equivalent live-set
+    semantics; combine with ``per_add_batch_aligned(..., slot_axis=-1)``.
+    With feature-major storage the aligned write is one in-place
+    lane-contiguous ``dynamic_update_slice`` per leaf -- no wrap cond, so
+    XLA can alias the buffers through scan carries (the wrap branch's
+    roll + two window patches measured as the flagship fm cycle's largest
+    phase, experiments/roofline_cycle.py).
+    """
+    if insert_block <= 0:
+        raise ValueError(f"insert_block must be positive, got {insert_block}")
+    phys = -(-capacity // insert_block) * insert_block
+    return per_init_fm(phys, example)
+
+
+def per_add_batch_aligned(
+    state: PERState, items: Any, capacity: int, slot_axis: int = 0
+) -> PERState:
     """Aligned batch insert (see :func:`per_init_aligned`), all rows at the
     current max priority like :func:`per_add_batch` (replay_buffer.py:150).
 
@@ -203,11 +222,12 @@ def per_add_batch_aligned(state: PERState, items: Any, capacity: int) -> PERStat
     count.  After the in-place write, the globally oldest ``phys -
     capacity`` rows (the head of the next block to be overwritten) get
     priority 0, evicting them from the live set exactly as the ring's
-    wrapping overwrite would.
+    wrapping overwrite would.  ``slot_axis`` as in :func:`per_add_batch`
+    (-1 for :func:`per_init_aligned_fm` feature-major buffers).
     """
     from jax import lax
 
-    n = jax.tree.leaves(items)[0].shape[0]
+    n = jax.tree.leaves(items)[0].shape[slot_axis]
     phys = per_capacity(state)
     if phys % n != 0:
         raise ValueError(
@@ -223,7 +243,8 @@ def per_add_batch_aligned(state: PERState, items: Any, capacity: int) -> PERStat
     priority = jnp.where(max_p == 0.0, ABS_ERROR_UPPER, max_p)
     storage = jax.tree.map(
         lambda buf, x: lax.dynamic_update_slice_in_dim(
-            buf, x.astype(buf.dtype), state.ptr, axis=0
+            buf, x.astype(buf.dtype), state.ptr,
+            axis=slot_axis % buf.ndim,
         ),
         state.storage,
         items,

@@ -605,10 +605,7 @@ def make_dqn_selfplay_step(
 
     if feature_major and not dqn_cfg.per:
         raise ValueError("feature_major replay requires a PER config "
-                         "(per_init_fm storage)")
-    if feature_major and per_aligned_capacity is not None:
-        raise ValueError("feature_major uses the ring PER layout; "
-                         "per_aligned_capacity is not supported")
+                         "(per_init_fm / per_init_aligned_fm storage)")
 
     if pallas_act_rollout:
         from ..ops.act_rollout_kernel import make_act_rollout_kernel
@@ -955,7 +952,12 @@ def make_dqn_selfplay_step(
                     obs, actions, rewards, next_obs
                 )
             transitions = to_transitions_fm(obs_fm, actions_fm, rewards_fm)
-            buf = per_add_batch(buf, transitions, slot_axis=-1)
+            if per_aligned_capacity is not None:
+                buf = per_add_batch_aligned(
+                    buf, transitions, per_aligned_capacity, slot_axis=-1
+                )
+            else:
+                buf = per_add_batch(buf, transitions, slot_axis=-1)
             scores = rewards_fm.reshape(T, cfg.num_players, num_games).astype(
                 jnp.float32
             ).sum(axis=0)
