@@ -18,12 +18,12 @@ moves ~3x the insert bytes and executes on 52 of 64 cycles at these
 cap/insert sizes) and (b) the Pallas rollout itself (~0.31 ms vs a 0.05
 ms MXU floor -- VPU masking/argmax/env registers, see the round-4
 ablation).  The wrap-free aligned layout was re-measured under fm and is
-STILL slower end to end (1.96 vs 1.46 ms -- the larger physical priority
-array and lost aliasing outweigh the wrap savings), so the stopping
-criterion stands: further gains need either a capacity snapped to a
-multiple of the insert size (changes the benchmark's replay-history
-semantics) or moving the insert into the kernel -- not more
-bandwidth/FLOP chasing in XLA.
+STILL slower end to end (1.96 vs 1.46 ms), and so is a plain ring with
+capacity snapped to 2x the insert block (2.07 ms -- wrap branch never
+fires).  Both wrap-free variants grow the physical buffers, and the
+insert+sample cost scales with PHYSICAL capacity, not the wrap: the
+stopping criterion stands -- further gains need the insert moved into
+the kernel, not more bandwidth/FLOP chasing in XLA.
 
 Usage: ``python experiments/roofline_cycle.py`` on the real chip.
 """
