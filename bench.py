@@ -134,20 +134,19 @@ def make_trainable_cycle(cfg, num_games, chain, learn_iters=8, pallas_act=False,
     return fn, cycle, (params, target, opt_state, buf)
 
 
-def verify_trainable_exactness(cfg):
-    """Guard for the trainable metric: chained == sequential, bit-for-bit.
-
-    Two cycles fused into one dispatch must produce bit-identical losses and
-    parameters to two sequential dispatches from the same state ON THIS
-    CHIP (the CPU pin is tests/test_vector_runtime.py::
-    test_chained_cycles_match_sequential_dispatches).  Raises on mismatch,
-    so a silently-diverged chained program can never post a bench number.
-    """
+def _verify_chained_bit_identity(cfg, num_games, pallas_act=False,
+                                 feature_major=False):
+    """ONE chained-vs-sequential bit-identity protocol for every trainable
+    line: two cycles fused into one dispatch must produce bit-identical
+    losses and parameters to two sequential dispatches from the same state
+    ON THIS CHIP.  Raises on mismatch, so a silently-diverged chained
+    program can never post a bench number."""
     import jax.numpy as jnp
     import numpy as np
 
     chained, cycle, (params, target, opt_state, buf) = make_trainable_cycle(
-        cfg, num_games=256, chain=2, learn_iters=8
+        cfg, num_games=num_games, chain=2, learn_iters=8,
+        pallas_act=pallas_act, feature_major=feature_major,
     )
     key, eps = jax.random.key(3), jnp.asarray(0.1)
     (p2, t2, o2, b2, losses2) = chained(params, target, opt_state, buf, key, eps)
@@ -164,120 +163,46 @@ def verify_trainable_exactness(cfg):
     for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(c[0])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
     assert np.all(np.isfinite(np.asarray(losses2)))
+
+
+def verify_trainable_exactness(cfg):
+    """Line-2 guard (CPU pin: tests/test_vector_runtime.py::
+    test_chained_cycles_match_sequential_dispatches)."""
+    _verify_chained_bit_identity(cfg, num_games=256)
 
 
 def verify_trainable_exactness_fm(cfg):
-    """Chained-vs-sequential bit-identity for the LINE-3 cycle itself
-    (fused Pallas act-rollout + feature-major replay), mirroring
-    :func:`verify_trainable_exactness` for line 2.  Runs at the kernel's
-    minimum tile (G=1024) on the real chip; raises on any divergence."""
-    import jax.numpy as jnp
-    import numpy as np
-
-    chained, cycle, (params, target, opt_state, buf) = make_trainable_cycle(
-        cfg, num_games=1024, chain=2, learn_iters=8, pallas_act=True,
-        feature_major=True,
-    )
-    key, eps = jax.random.key(3), jnp.asarray(0.1)
-    (p2, t2, o2, b2, losses2) = chained(params, target, opt_state, buf, key, eps)
-
-    c = (params, target, opt_state, buf)
-    seq_losses = []
-    for k in jax.random.split(key, 2):
-        p, t, o, b, m = cycle(*c, k, eps)
-        c = (p, t, o, b)
-        seq_losses.append(m["loss"])
-    np.testing.assert_array_equal(
-        np.asarray(losses2), np.asarray(jnp.stack(seq_losses))
-    )
-    for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(c[0])):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
-    assert np.all(np.isfinite(np.asarray(losses2)))
+    """Line-3 guard: the exact fm cycle being timed (fused Pallas
+    act-rollout + feature-major replay) at the kernel's minimum tile."""
+    _verify_chained_bit_identity(cfg, num_games=1024, pallas_act=True,
+                                 feature_major=True)
 
 
 def verify_act_rollout_exactness(cfg):
     """In-bench guard for line 3 (VERDICT r4 #1): kernel-vs-XLA agreement.
 
-    Before the fused Pallas act-rollout may post the headline cycle number,
-    a spot-check of ``tests/test_act_rollout.py::test_agreement_with_xla_
-    greedy_replay`` runs right here: the kernel plays full greedy games from
-    its hardware-PRNG deals; the XLA masked-Q argmax path (reference act
-    semantics, dqn.py:196-230) replays the SAME deals (shared PRNG stream
-    via ``make_deal_kernel``) with the SAME per-turn effective weights, and
-    every action and final score must agree (tiny near-tie budget; measured
-    1.000000).  Raises on disagreement, exactly like the guards behind
-    lines 1-2 -- a silently-wrong kernel can never post a bench number.
+    Runs the SAME shared protocol as ``tests/test_act_rollout.py::
+    test_agreement_with_xla_greedy_replay`` (one implementation,
+    ``rl6nimmt_tpu.ops.act_rollout_check`` -- the sites cannot drift):
+    kernel games from hardware-PRNG deals, the XLA masked-Q argmax path
+    (reference act semantics, dqn.py:196-230) replaying the SAME deals and
+    effective weights, exact deal-parity asserted, and every action and
+    final score must agree (tiny near-tie budget; measured 1.000000).
+    Raises on disagreement, exactly like the guards behind lines 1-2 --
+    a silently-wrong kernel can never post a bench number.
     """
-    import dataclasses
-    import functools
-
-    import jax.numpy as jnp
-    import numpy as np
-    from jax import lax
-
-    from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec, q_values
-    from rl6nimmt_tpu.engine.env import observe, step
-    from rl6nimmt_tpu.engine.state import EnvState
-    from rl6nimmt_tpu.nets import draw_mlp_noise, mlp_init, noisy_effective_params
-    from rl6nimmt_tpu.ops.act_rollout_kernel import make_act_rollout_kernel
-    from rl6nimmt_tpu.ops.game_kernel import make_deal_kernel
+    from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec
+    from rl6nimmt_tpu.nets import mlp_init
+    from rl6nimmt_tpu.ops.act_rollout_check import greedy_replay_agreement
 
     dqn_cfg = DQNConfig(double=True, dueling=True, noisy=True, per=True,
                         n_steps=10, hidden_sizes=(64,), minibatch=64)
     spec = q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions)
     params = mlp_init(jax.random.key(1), spec)
-
-    T = cfg.max_turns
-
-    def chain(k, _):
-        k, sub = jax.random.split(k)
-        return k, sub
-
-    _, subs = lax.scan(chain, jax.random.key(42), jnp.arange(T))
-    noise_keys = jax.vmap(lambda s: jax.random.split(s, 3)[0])(subs)
-    turn_noise = jax.vmap(lambda nk: draw_mlp_noise(spec, nk))(noise_keys)
-    eff = jax.vmap(lambda nz: noisy_effective_params(spec, params, nz))(turn_noise)
-
-    G, P, seed = 1024, cfg.num_players, 7  # one kernel tile (TILE=1024)
-    play = make_act_rollout_kernel(cfg, G, hidden=spec.hidden_sizes[0])
-    _, actions, rewards = jax.tree.map(np.asarray, play(
-        seed,
-        eff["trunk"][0]["w"], eff["trunk"][0]["b"],
-        eff["heads"][1]["w"], eff["heads"][1]["b"],
-    ))
-
-    board_d, len_d, hands_d = make_deal_kernel(cfg, G)(seed)
-    gi = jnp.arange(G)[:, None, None]
-    pi = jnp.arange(P)[None, :, None]
-    valid = hands_d >= 0
-    hands_mask = jnp.zeros((G, P, cfg.num_cards), bool).at[
-        gi, pi, jnp.where(valid, hands_d, 0)
-    ].set(valid)
-    state = EnvState(
-        board=board_d.astype(jnp.int32), row_len=len_d.astype(jnp.int32),
-        hands=hands_mask, hands_sorted=hands_d.astype(jnp.int32),
-        scores=jnp.zeros((G, P), jnp.int32), turn=jnp.zeros((G,), jnp.int32),
+    agree, score_agree = greedy_replay_agreement(
+        cfg, dqn_cfg, spec, params, num_games=1024, seed=7,
+        noise_key=jax.random.key(42),
     )
-
-    eff_spec = dataclasses.replace(spec, noisy=False)
-    step_b = jax.vmap(functools.partial(step, cfg))
-    obs_b = jax.vmap(functools.partial(observe, cfg))
-
-    @jax.jit
-    def replay(state, eff):
-        def turn(st, eff_t):
-            o, masks = obs_b(st)
-            q = q_values(dqn_cfg, eff_spec, eff_t, o)
-            acts = jnp.argmax(jnp.where(masks, q, -1e9), axis=-1).astype(jnp.int32)
-            st, _ = step_b(st, acts)
-            return st, acts
-
-        st, acts = lax.scan(turn, state, eff)
-        return acts, -st.scores
-
-    xla_actions, xla_scores = jax.tree.map(np.asarray, replay(state, eff))
-    agree = float((xla_actions == actions).mean())
-    score_agree = float((xla_scores == rewards.sum(0)).mean())
     if agree <= 0.999 or score_agree <= 0.999:
         raise AssertionError(
             f"fused act-rollout disagrees with XLA greedy act: actions "

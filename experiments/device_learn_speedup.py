@@ -120,15 +120,16 @@ def main():
     # mean +/- 95% CI (t-distribution over the per-segment ms/game) and a
     # CI over the per-pair speedup ratios; the verdict gate is whether the
     # ratio CI excludes 1.0.
-    T_95 = {2: 12.71, 3: 4.303, 4: 3.182, 5: 2.776, 6: 2.571, 7: 2.447,
-            8: 2.365, 9: 2.306, 10: 2.262}
+    # two-sided 95% t critical values, keyed by DEGREES OF FREEDOM (n - 1)
+    T_95 = {1: 12.71, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
+            7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228}
 
     def ci95(xs):
         xs = np.asarray(xs, np.float64)
         m = float(xs.mean())
         if len(xs) < 2:
             return m, float("nan")
-        t = T_95.get(len(xs) - 1, 1.96)
+        t = T_95.get(len(xs) - 1, 2.0 if len(xs) > 11 else 12.71)
         return m, float(t * xs.std(ddof=1) / np.sqrt(len(xs)))
 
     segments = {"host": [], "device": []}

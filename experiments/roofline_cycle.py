@@ -149,13 +149,11 @@ def main():
         + (T + 1) * P * S * G * int8               # obs trajectory write
         + 2 * T * P * G * f32                      # actions+rewards write
     )
-    flops_rollout = CHAIN and (
-        # per tile of 1024 games: shared 37-feature contraction + per-seat
-        # hand contraction + adv head, per turn
-        (G // 1024) * T * (
-            2 * (S - 10) * H * 1024
-            + P * (2 * 10 * H * 1024 + 2 * H * A * 1024)
-        )
+    # per tile of 1024 games: shared 37-feature contraction + per-seat
+    # hand contraction + adv head, per turn (per-cycle FLOPs)
+    flops_rollout = (G // 1024) * T * (
+        2 * (S - 10) * H * 1024
+        + P * (2 * 10 * H * 1024 + 2 * H * A * 1024)
     )
     # harvest+insert: read trajectory, write state/next_state int8 planes +
     # reward f32 + action/done int8 + priorities; ring wrap moves the

@@ -31,8 +31,14 @@ def install_stubs() -> None:
     # suites order-independent: whichever test file runs first, every later
     # reference import sees THIS complete stub (spaces carrying ``n`` and
     # ``shape``), not a minimal one another file happened to install.
+    # Idempotent: a module we installed ourselves (``_RL6_STUB``) is kept,
+    # so repeated calls never swap the classes reference modules already
+    # bound (class-identity across fixtures stays stable).
     existing = sys.modules.get("gym")
-    if existing is None or getattr(existing, "__file__", None) is None:
+    if existing is None or (
+        getattr(existing, "__file__", None) is None
+        and not getattr(existing, "_RL6_STUB", False)
+    ):
         gym = types.ModuleType("gym")
 
         class Env:

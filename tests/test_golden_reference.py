@@ -361,6 +361,10 @@ def test_install_stubs_upgrades_poor_gym_stub():
         assert gym.spaces.Box(-1, 2, (47,)).shape == (47,)
         assert gym.spaces.Discrete(104).n == 104
         assert isinstance(type("E", (gym.Env,), {})(), gym.Env)
+        # Idempotent: a second call keeps OUR stub (class identity stable
+        # for anything the reference already bound).
+        install_stubs()
+        assert sys.modules["gym"] is gym
     finally:
         for k, v in saved.items():
             if v is None:
