@@ -510,6 +510,19 @@ class DeviceBlockSession:
         self.timings: dict = {}
 
     def play(self) -> List[np.ndarray]:
+        """Assemble + run + replay one block (dispatch then finalize)."""
+        self.dispatch()
+        return self.finalize()
+
+    def dispatch(self) -> "DeviceBlockSession":
+        """Async phase: assemble the block inputs and LAUNCH the fused
+        device program, parking the un-fetched device handles for
+        :meth:`finalize`.  JAX dispatch is asynchronous, so several
+        sessions' programs can queue on the device back to back while the
+        host finalizes earlier ones -- ``Tournament.play_device_block``
+        pipelines its signature groups this way (group k's host-side learn
+        replay overlaps groups k+1..'s device execution).  Returns self.
+        """
         import time as _time
 
         # Stale-read guard: if play() raises mid-block, timings must not
@@ -594,6 +607,24 @@ class DeviceBlockSession:
         scores, traj, final_obs = fn(
             params, lparams, kinds, mc_maxes, mc_pers, c_pucts, epses, key
         )
+        # Park un-fetched device handles + the host context finalize needs.
+        self._block = {
+            "scores": scores, "traj": traj, "final_obs": final_obs,
+            "families": families, "t0": t0, "t1": t1,
+        }
+        return self
+
+    def finalize(self) -> List[np.ndarray]:
+        """Blocking phase: fetch the trajectories (waits for THIS session's
+        device program; later sessions' programs keep executing) and replay
+        every learner's ``learn`` stream host-side in block order."""
+        import time as _time
+
+        blk = self._block
+        self._block = None
+        scores, traj, final_obs = blk["scores"], blk["traj"], blk["final_obs"]
+        families, t0, t1 = blk["families"], blk["t0"], blk["t1"]
+        G, P, H = len(self.lineups), self.cfg.num_players, self.cfg.hand_size
 
         scores = np.asarray(scores)[:G]
         obs = np.asarray(traj["obs"], np.float32)[:, :G]

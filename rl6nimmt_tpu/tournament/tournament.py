@@ -283,6 +283,7 @@ class Tournament:
         bucket: Optional[int] = None,
         mesh=None,
         device_learning: bool = False,
+        pipeline: bool = False,
     ) -> None:
         """Play ``n_games`` with eligible lineups fused into device programs.
 
@@ -345,11 +346,29 @@ class Tournament:
                 ), "device_learning: learner routed to a host lineup"
 
         scores = {}
+        # ``pipeline=True`` dispatches every signature group's device program
+        # before finalizing any (all seats assembled from block-start
+        # parameters -- within the documented staleness contract, PARITY.md
+        # #10/#12), intending group k's host-side fetch + learn replay to
+        # overlap groups k+1..'s device execution.  MEASURED NEUTRAL on this
+        # tunneled single-chip topology (0.96x vs sequential, warm in-process
+        # A/B, r5): the experimental backend does not overlap dispatches the
+        # way the two-phase planner fetch does, so the default stays the
+        # strictly sequential path (later groups see earlier groups' learn
+        # updates, exactly the r4 behavior).
+        sessions = []
         for group in device_groups.values():
-            results = DeviceBlockSession(
+            session = DeviceBlockSession(
                 [agents for _, agents in group], bucket=bucket, mesh=mesh,
                 slots=slots, device_learning=device_learning,
-            ).play()
+            ).dispatch()
+            if pipeline:
+                sessions.append((group, session))
+            else:
+                for (j, _), game_scores in zip(group, session.finalize()):
+                    scores[j] = game_scores
+        for group, session in sessions:
+            results = session.finalize()
             for (j, _), game_scores in zip(group, results):
                 scores[j] = game_scores
         if host:
