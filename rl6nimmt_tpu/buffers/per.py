@@ -114,6 +114,53 @@ def per_init_fm(capacity: int, example: Any) -> PERState:
     )
 
 
+def per_init_kd(capacity: int, state_rows: int, scal_rows: int) -> PERState:
+    """PER buffer for the direct-insert kernel (ops/act_rollout_kernel.py).
+
+    Storage is three feature-major PLANES the kernel DMA-writes at the ring
+    pointer: ``state``/``next_state`` int8 ``[state_rows, cap]`` (features
+    padded to the DMA row tile) and ``scalars`` f32 ``[scal_rows, cap]``
+    (row 0 = n-step reward, 1 = action, 2 = done).  Priorities/ptr/size/
+    beta semantics are unchanged; inserts mark priorities via
+    :func:`per_mark_batch` because the kernel wrote the storage already.
+    """
+    storage = {
+        "state": jnp.zeros((state_rows, capacity), jnp.int8),
+        "next_state": jnp.zeros((state_rows, capacity), jnp.int8),
+        "scalars": jnp.zeros((scal_rows, capacity), jnp.float32),
+    }
+    return PERState(
+        storage=storage,
+        priorities=jnp.zeros((capacity,), jnp.float32),
+        ptr=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+        beta=jnp.asarray(BETA0, jnp.float32),
+    )
+
+
+def per_mark_batch(state: PERState, storage: Any, n: int) -> PERState:
+    """Bookkeeping companion to an external batch write (the direct-insert
+    kernel): adopt the externally-written ``storage``, give the ``n`` new
+    slots at the ring pointer the max-priority treatment of
+    :func:`per_add_batch` (replay_buffer.py:150), and advance ptr/size."""
+    from .ring import circular_write
+
+    cap = per_capacity(state)
+    if n > cap:
+        raise ValueError(f"batch of {n} transitions exceeds buffer capacity {cap}")
+    max_p = jnp.max(state.priorities)
+    priority = jnp.where(max_p == 0.0, ABS_ERROR_UPPER, max_p)
+    return PERState(
+        storage=storage,
+        priorities=circular_write(
+            state.priorities, jnp.broadcast_to(priority, (n,)), state.ptr
+        ),
+        ptr=(state.ptr + n) % cap,
+        size=jnp.minimum(state.size + n, cap),
+        beta=state.beta,
+    )
+
+
 def per_add(state: PERState, item: Any) -> PERState:
     """Insert with max-priority (new experiences get sampled at least once)."""
     max_p = jnp.max(state.priorities)

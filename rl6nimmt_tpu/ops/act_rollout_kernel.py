@@ -84,8 +84,17 @@ from .step_kernel import (
 NEG_INF = -1e9  # same masking constant as the XLA act path
 
 
-def _act_rollout_kernel(cfg: EnvConfig, feature_major: bool, seed_ref, w1_ref,
-                        b1_ref, wa_ref, ba_ref, obs_out, act_out, rew_out):
+def _play_block(cfg: EnvConfig, seed_ref, w1_ref, b1_ref, wa_ref, ba_ref,
+                emit_obs, emit_action, emit_rewards):
+    """Shared per-tile greedy-DQN game loop (deal, per-turn observations, Q
+    forward on effective weights, legal-masked argmax, resolution).
+
+    The emission strategy is injected at TRACE time: ``emit_obs(t, p,
+    obs_regs)`` (``t == cfg.max_turns`` for the terminal observation),
+    ``emit_action(t, p, card)``, ``emit_rewards(t, turn_rew)``.  Both the
+    trajectory-emitting rollout kernel and the direct-insert kernel build
+    on this single loop, so the act semantics cannot drift between them.
+    """
     R, T, P, H, S = (cfg.num_rows, cfg.threshold, cfg.num_players,
                      cfg.hand_size, cfg.state_length)
     A = cfg.num_actions
@@ -126,18 +135,6 @@ def _act_rollout_kernel(cfg: EnvConfig, feature_major: bool, seed_ref, w1_ref,
             m = m | (iota_a == hand_sub[:, :, i : i + 1])
         legal.append(m)
 
-    def write_obs(t, p, obs_regs):
-        if feature_major:
-            # Row order (f, t, p): the output reshapes to [S, (T+1)*P, G]
-            # with features leading, so the replay insert consumes it with
-            # ZERO relayout (per_init_fm storage, slots on lanes).
-            for f, reg in enumerate(obs_regs):
-                obs_out[f * (n_turns + 1) * P + t * P + p] = reg.astype(jnp.int8)
-        else:
-            base = (t * P + p) * S
-            for f, reg in enumerate(obs_regs):
-                obs_out[base + f] = reg.astype(jnp.int8)
-
     def game_features():
         """The per-game observation features shared by every seat.
 
@@ -168,7 +165,7 @@ def _act_rollout_kernel(cfg: EnvConfig, feature_major: bool, seed_ref, w1_ref,
         packed = []
         for p in range(P):
             hand_regs = [hands[p * H + i] for i in range(H)]
-            write_obs(t, p, hand_regs + game_regs)
+            emit_obs(t, p, hand_regs + game_regs)
 
             # ---- Q forward on effective weights (games stay on (8,128)) ----
             hand_f32 = jnp.stack(hand_regs).astype(jnp.float32)    # [H, 8, 128]
@@ -193,7 +190,7 @@ def _act_rollout_kernel(cfg: EnvConfig, feature_major: bool, seed_ref, w1_ref,
                 masked_s = jnp.where(legal[p][s], adv[s], NEG_INF)
                 cards.append(jnp.argmax(masked_s, axis=1))
             card = jnp.stack(cards).astype(jnp.int32)              # [8, 128]
-            act_out[t * P + p] = card
+            emit_action(t, p, card)
             legal[p] = legal[p] & (iota_a != card[:, :, None])
 
             # ---- remove the played card from the sorted hand ---------------
@@ -223,14 +220,42 @@ def _act_rollout_kernel(cfg: EnvConfig, feature_major: bool, seed_ref, w1_ref,
                 cfg, board, row_len, aggr, turn_rew,
                 packed[i] >> 4, packed[i] & jnp.int32(15),
             )
-        for p in range(P):
-            rew_out[t * P + p] = turn_rew[p]
+        emit_rewards(t, turn_rew)
 
     # Terminal observation (post-game state): the harvest's n-step bootstrap
     # target for every tail transition (reference dqn.py:270-301).
     game_regs = game_features()
     for p in range(P):
-        write_obs(n_turns, p, [hands[p * H + i] for i in range(H)] + game_regs)
+        emit_obs(n_turns, p, [hands[p * H + i] for i in range(H)] + game_regs)
+
+
+def _act_rollout_kernel(cfg: EnvConfig, feature_major: bool, seed_ref, w1_ref,
+                        b1_ref, wa_ref, ba_ref, obs_out, act_out, rew_out):
+    """Trajectory-emitting kernel: obs/actions/rewards into blocked outputs."""
+    P, S = cfg.num_players, cfg.state_length
+    n_turns = cfg.max_turns
+
+    def emit_obs(t, p, obs_regs):
+        if feature_major:
+            # Row order (f, t, p): the output reshapes to [S, (T+1)*P, G]
+            # with features leading, so the replay insert consumes it with
+            # ZERO relayout (per_init_fm storage, slots on lanes).
+            for f, reg in enumerate(obs_regs):
+                obs_out[f * (n_turns + 1) * P + t * P + p] = reg.astype(jnp.int8)
+        else:
+            base = (t * P + p) * S
+            for f, reg in enumerate(obs_regs):
+                obs_out[base + f] = reg.astype(jnp.int8)
+
+    def emit_action(t, p, card):
+        act_out[t * P + p] = card
+
+    def emit_rewards(t, turn_rew):
+        for p in range(P):
+            rew_out[t * P + p] = turn_rew[p]
+
+    _play_block(cfg, seed_ref, w1_ref, b1_ref, wa_ref, ba_ref,
+                emit_obs, emit_action, emit_rewards)
 
 
 @functools.lru_cache(maxsize=None)
@@ -315,3 +340,222 @@ def make_act_rollout_kernel(cfg: EnvConfig, num_games: int,
         return obs, actions, rewards
 
     return jax.jit(play)
+
+
+# ------------------------------------------------- direct-insert variant
+
+S_PAD = 48   # state rows padded to the int8 DMA row tile (8); row 47 is zero
+SCAL_ROWS = 8  # f32 scalar plane rows: 0=reward, 1=action, 2=done, rest zero
+
+
+def _act_insert_kernel(cfg: EnvConfig, gamma: float, n_steps: int,
+                       reward_lag: bool, cap_blocks: int,
+                       seed_ref, ptr_ref, w1_ref, b1_ref, wa_ref, ba_ref,
+                       state_in, next_in, scal_in,
+                       state_out, next_out, scal_out, rew_out,
+                       state_stage, next_stage, scal_stage,
+                       state_sem, next_sem, scal_sem):
+    """Play the tile's games AND write its finished n-step transitions
+    straight into the (aliased) replay storage planes.
+
+    Replaces the XLA-side harvest + ring insert entirely (the flagship
+    cycle's largest phase, experiments/roofline_cycle.py): transition
+    columns land at their ring positions via per-tile async DMA, so the
+    trajectory is never materialized in HBM and no wrap-branch copies run.
+
+    Column order: (tile, t, p, g-in-tile) -- tile ``i`` owns the contiguous
+    T*P-block region at block offset ``(ptr_blk + i*T*P) % cap_blocks``
+    (the wrapper requires ``capacity %% (T*P*TILE) == 0``, so a region
+    never straddles the ring end).  Transition semantics match
+    ``to_transitions_fm`` for the flagship ``n_steps >= max_turns`` case:
+    lagged rewards (play.py:29-72), discounted suffix sums, terminal
+    bootstrap observation, done-tail flags (reference dqn.py:264-301).
+    """
+    del state_in, next_in, scal_in  # aliased storage; written via DMA only
+    P, S = cfg.num_players, cfg.state_length
+    T = cfg.max_turns
+    TP = T * P
+    base_blk = ptr_ref[0] // LANES // SUBLANES  # element ptr -> TILE blocks
+    base_blk = (base_blk + pl.program_id(0) * TP) % cap_blocks
+
+    actions: list = [None] * TP
+    rewards: list = [None] * TP
+
+    def emit_obs(t, p, obs_regs):
+        if t < T:
+            for f, reg in enumerate(obs_regs):
+                state_stage[f, t * P + p] = reg.astype(jnp.int8)
+        else:  # terminal observation -> the shared bootstrap target
+            for f, reg in enumerate(obs_regs):
+                next_stage[f, p] = reg.astype(jnp.int8)
+
+    def emit_action(t, p, card):
+        actions[t * P + p] = card
+
+    def emit_rewards(t, turn_rew):
+        for p in range(P):
+            rewards[t * P + p] = turn_rew[p]
+            rew_out[t * P + p] = turn_rew[p]
+
+    _play_block(cfg, seed_ref, w1_ref, b1_ref, wa_ref, ba_ref,
+                emit_obs, emit_action, emit_rewards)
+
+    # Zero the pad rows once (storage invariants: pad rows stay 0).
+    for f in range(S, S_PAD):
+        zero8 = jnp.zeros((SUBLANES, LANES), jnp.int8)
+        for tp in range(TP):
+            state_stage[f, tp] = zero8
+        for p in range(P):
+            next_stage[f, p] = zero8
+
+    # n-step returns (n >= T case): R[t] = sum_{j>=t} gamma^(j-t) r'_j with
+    # the lagged stream r'_t = r_{t-1} (r'_0 = 0) when reward_lag, else
+    # r'_t = r_t -- a reverse discounted suffix recursion per seat.
+    tail_start = (T - n_steps + 1) if n_steps > 1 else (T - 1)
+    for p in range(P):
+        acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        for t in range(T - 1, -1, -1):
+            if reward_lag:
+                r = (rewards[(t - 1) * P + p].astype(jnp.float32)
+                     if t > 0 else jnp.zeros((SUBLANES, LANES), jnp.float32))
+            else:
+                r = rewards[t * P + p].astype(jnp.float32)
+            acc = r + gamma * acc
+            tp = t * P + p
+            scal_stage[0, tp] = acc
+            scal_stage[1, tp] = actions[tp].astype(jnp.float32)
+            scal_stage[2, tp] = jnp.full(
+                (SUBLANES, LANES), 1.0 if t >= tail_start else 0.0, jnp.float32
+            )
+    zero32 = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    for f in range(3, SCAL_ROWS):
+        for tp in range(TP):
+            scal_stage[f, tp] = zero32
+
+    # ---- DMA the tile's finished region into the ring storage -----------
+    dst = state_out.at[:, pl.ds(base_blk, TP)]
+    dma = pltpu.make_async_copy(state_stage, dst, state_sem)
+    dma.start()
+
+    sdma = pltpu.make_async_copy(
+        scal_stage, scal_out.at[:, pl.ds(base_blk, TP)], scal_sem
+    )
+    sdma.start()
+
+    # next_state: the SAME terminal [S_PAD, P] block broadcast over t.
+    for t in range(T):
+        ndma = pltpu.make_async_copy(
+            next_stage, next_out.at[:, pl.ds(base_blk + t * P, P)], next_sem
+        )
+        ndma.start()
+        ndma.wait()
+    dma.wait()
+    sdma.wait()
+
+
+@functools.lru_cache(maxsize=None)
+def make_act_insert_kernel(cfg: EnvConfig, num_games: int, hidden: int,
+                           capacity: int, gamma: float, n_steps: int,
+                           reward_lag: bool = True):
+    """Compile the fused rollout-plus-insert: whole greedy games in VMEM,
+    finished n-step transitions DMA'd straight into the replay planes.
+
+    ``insert(seed, ptr, w1, b1, wa, ba, state, next, scal) -> (state',
+    next', scal', rewards int32 [T*P, G])`` where the three storage planes
+    are ALIASED in/out (donated by the caller's jit):
+
+    * ``state``/``next``: int8 ``[S_PAD, capacity]`` (rows 0..S-1 =
+      features, pad rows zero),
+    * ``scal``: f32 ``[SCAL_ROWS, capacity]`` (rows: n-step reward, action,
+      done; rest zero).
+
+    Requires the flagship kernel-path constraints (noisy greedy act, one
+    hidden layer, ``num_games % TILE == 0``) plus ``n_steps >=
+    cfg.max_turns`` (every transition bootstraps from the terminal
+    observation) and ``capacity % (max_turns * num_players * TILE) == 0``
+    (per-tile regions never straddle the ring end).
+    """
+    T, P, S, A = cfg.max_turns, cfg.num_players, cfg.state_length, cfg.num_actions
+    G = num_games
+    TP = T * P
+    if G % TILE:
+        raise ValueError(f"num_games={G} must be a multiple of {TILE}")
+    if n_steps < T:
+        raise ValueError("direct-insert kernel requires n_steps >= max_turns")
+    if capacity % (TP * TILE):
+        raise ValueError(
+            f"capacity={capacity} must be a multiple of T*P*TILE={TP * TILE}"
+        )
+    cap_blocks = capacity // TILE
+    grid = (G // TILE,)
+
+    kernel = functools.partial(
+        _act_insert_kernel, cfg, gamma, n_steps, reward_lag, cap_blocks
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    blk = lambda rows: pl.BlockSpec(
+        (rows, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    n_turns = T
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # seed [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # ptr [1]
+            full((n_turns, S, hidden)),                   # w1
+            full((n_turns, hidden)),                      # b1
+            full((n_turns, hidden, A)),                   # wa
+            full((n_turns, A)),                           # ba
+            pl.BlockSpec(memory_space=pltpu.ANY),         # state plane
+            pl.BlockSpec(memory_space=pltpu.ANY),         # next plane
+            pl.BlockSpec(memory_space=pltpu.ANY),         # scal plane
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            blk(TP),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S_PAD, cap_blocks, SUBLANES, LANES), jnp.int8),
+            jax.ShapeDtypeStruct((S_PAD, cap_blocks, SUBLANES, LANES), jnp.int8),
+            jax.ShapeDtypeStruct((SCAL_ROWS, cap_blocks, SUBLANES, LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((TP, G // LANES, LANES), jnp.int32),
+        ),
+        input_output_aliases={6: 0, 7: 1, 8: 2},
+        scratch_shapes=[
+            pltpu.VMEM((S_PAD, TP, SUBLANES, LANES), jnp.int8),
+            pltpu.VMEM((S_PAD, P, SUBLANES, LANES), jnp.int8),
+            pltpu.VMEM((SCAL_ROWS, TP, SUBLANES, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+    def insert(seed, ptr, w1, b1, wa, ba, state, nxt, scal):
+        """state/nxt [S_PAD, cap] int8; scal [SCAL_ROWS, cap] f32 (2-D
+        logical planes; reshaped block-wise for the kernel, both free)."""
+        to4 = lambda x, rows: x.reshape(rows, cap_blocks, SUBLANES, LANES)
+        s4, n4, c4 = (to4(state, S_PAD), to4(nxt, S_PAD), to4(scal, SCAL_ROWS))
+        s4, n4, c4, rew = call(
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(ptr, jnp.int32).reshape(1),
+            w1.astype(jnp.float32), b1.astype(jnp.float32),
+            wa.astype(jnp.float32), ba.astype(jnp.float32),
+            s4, n4, c4,
+        )
+        back = lambda x, rows: x.reshape(rows, capacity)
+        return (back(s4, S_PAD), back(n4, S_PAD), back(c4, SCAL_ROWS),
+                rew.reshape(TP, G))
+
+    return jax.jit(insert, donate_argnums=(6, 7, 8))
+

@@ -537,6 +537,7 @@ def make_dqn_selfplay_step(
     per_aligned_capacity: Optional[int] = None,
     pallas_act_rollout: bool = False,
     feature_major: bool = False,
+    kernel_insert: bool = False,
 ):
     """Fused DQN self-play cycle: rollout + buffer fill + Bellman updates.
 
@@ -606,6 +607,36 @@ def make_dqn_selfplay_step(
     if feature_major and not dqn_cfg.per:
         raise ValueError("feature_major replay requires a PER config "
                          "(per_init_fm / per_init_aligned_fm storage)")
+    if kernel_insert:
+        # The direct-insert kernel plays the games AND DMA-writes finished
+        # n-step transitions into the replay planes at the ring pointer --
+        # no trajectory materialization, no XLA-side insert (RESULTS.md r5
+        # roofline: the harvest+insert phase was the cycle's largest).
+        # It subsumes pallas_act_rollout/feature_major and shares their
+        # constraints plus n_steps >= max_turns and a capacity multiple of
+        # the per-tile region (validated in make_act_insert_kernel).
+        if not dqn_cfg.per:
+            raise ValueError("kernel_insert requires a PER config "
+                             "(per_init_kd storage)")
+        if not dqn_cfg.noisy:
+            raise ValueError("kernel_insert requires a noisy config "
+                             "(greedy act)")
+        if len(dqn_cfg.hidden_sizes) != 1:
+            raise ValueError("kernel_insert supports one hidden layer")
+        if dqn_cfg.n_steps < T:
+            raise ValueError("kernel_insert requires n_steps >= max_turns")
+        if pallas_act_rollout or feature_major:
+            raise ValueError("kernel_insert subsumes pallas_act_rollout/"
+                             "feature_major; pass kernel_insert alone")
+        from ..ops.step_kernel import TILE as _KI_TILE
+
+        if num_games % _KI_TILE != 0:
+            raise ValueError(
+                f"kernel_insert requires num_games % {_KI_TILE} == 0 "
+                f"(got {num_games})"
+            )
+        ki_seed_stride = num_games // _KI_TILE
+        ki_adv_head = 1 if dqn_cfg.dueling else 0
 
     if pallas_act_rollout:
         from ..ops.act_rollout_kernel import make_act_rollout_kernel
@@ -891,7 +922,7 @@ def make_dqn_selfplay_step(
         if dqn_cfg.per:
             buf, idx, weights, batch = per_sample(
                 buf, sample_key, dqn_cfg.minibatch,
-                slot_axis=-1 if feature_major else 0,
+                slot_axis=-1 if (feature_major or kernel_insert) else 0,
             )
         else:
             idx, batch = ring_sample(buf, sample_key, dqn_cfg.minibatch)
@@ -908,15 +939,27 @@ def make_dqn_selfplay_step(
         # are exact small integers, so this is bit-identical either way
         # (dqn_replay_example).  Feature-major batches arrive [S, 64];
         # the tiny transpose back to rows feeds the unchanged learn math
-        # (identical matmul values).
-        tr = (lambda x: x.T) if feature_major else (lambda x: x)
-        batch = {
-            "state": tr(batch["state"].astype(jnp.float32)),
-            "action": batch["action"].astype(jnp.int32),
-            "reward": batch["reward"].astype(jnp.float32),
-            "next_state": tr(batch["next_state"].astype(jnp.float32)),
-            "done": batch["done"].astype(jnp.float32),
-        }
+        # (identical matmul values).  Kernel-insert batches arrive as the
+        # kd planes ([S_PAD, 64] states + the f32 scalar rows) and decode
+        # the same way.
+        if kernel_insert:
+            S_ = cfg.state_length
+            batch = {
+                "state": batch["state"][:S_].astype(jnp.float32).T,
+                "action": batch["scalars"][1].astype(jnp.int32),
+                "reward": batch["scalars"][0],
+                "next_state": batch["next_state"][:S_].astype(jnp.float32).T,
+                "done": batch["scalars"][2],
+            }
+        else:
+            tr = (lambda x: x.T) if feature_major else (lambda x: x)
+            batch = {
+                "state": tr(batch["state"].astype(jnp.float32)),
+                "action": batch["action"].astype(jnp.int32),
+                "reward": batch["reward"].astype(jnp.float32),
+                "next_state": tr(batch["next_state"].astype(jnp.float32)),
+                "done": batch["done"].astype(jnp.float32),
+            }
         batch = dict(batch, weights=weights)
         # Soft-update cadence: every retrain_interval-th learn step, like the
         # host learner (dqn.py:304-353).  The counter restarts at step0 per
@@ -939,7 +982,49 @@ def make_dqn_selfplay_step(
         # (int8 for compact buffers -- exact for these integer-valued
         # observations, see dqn_replay_example).
         store_dtype = buf.storage["state"].dtype
-        if feature_major:
+        if kernel_insert:
+            from ..buffers.per import per_mark_batch
+            from ..nets import draw_mlp_noise, noisy_effective_params
+            from ..ops.act_rollout_kernel import make_act_insert_kernel
+
+            cap = buf.priorities.shape[0]
+            insert_fn = make_act_insert_kernel(
+                cfg, num_games, dqn_cfg.hidden_sizes[0], cap, gamma,
+                dqn_cfg.n_steps, reward_lag,
+            )
+            # SAME key schedule as rollout_kernel (bit-identical noise).
+            key2, deal_key = jax.random.split(roll_key)
+
+            def chain(k, _):
+                k, sub = jax.random.split(k)
+                return k, sub
+
+            _, subs = lax.scan(chain, key2, jnp.arange(T))
+            noise_keys = jax.vmap(lambda s: jax.random.split(s, 3)[0])(subs)
+            turn_noise = jax.vmap(lambda nk: draw_mlp_noise(spec, nk))(noise_keys)
+            turn_eff = jax.vmap(
+                lambda nz: noisy_effective_params(spec, params, nz)
+            )(turn_noise)
+            seed = jax.random.randint(
+                deal_key, (), 0, jnp.int32(2**31 - 1) - ki_seed_stride,
+                dtype=jnp.int32,
+            )
+            sp, nxp, scp, rewards_i = insert_fn(
+                seed, buf.ptr,
+                turn_eff["trunk"][0]["w"], turn_eff["trunk"][0]["b"],
+                turn_eff["heads"][ki_adv_head]["w"],
+                turn_eff["heads"][ki_adv_head]["b"],
+                buf.storage["state"], buf.storage["next_state"],
+                buf.storage["scalars"],
+            )
+            buf = per_mark_batch(
+                buf, {"state": sp, "next_state": nxp, "scalars": scp},
+                T * num_games * cfg.num_players,
+            )
+            scores = rewards_i.reshape(
+                T, cfg.num_players, num_games
+            ).astype(jnp.float32).sum(axis=0)
+        elif feature_major:
             if pallas_act_rollout:
                 obs_fm, actions_fm, rewards_fm = rollout(
                     params, roll_key, eps, store_dtype=store_dtype
