@@ -78,23 +78,28 @@ def verify_kernel_exactness(cfg):
 
 
 def make_trainable_cycle(cfg, num_games, chain, learn_iters=8, pallas_act=False,
-                         feature_major=False):
+                         feature_major=False, kernel_insert=False):
     """The flagship DQN training cycle, ``chain`` cycles per dispatch.
 
     ``pallas_act=True`` routes the self-play rollout through the fused
     act-rollout kernel (hardware-PRNG deals; key-reproducible net noise;
-    identical learn phase) -- the third bench line's configuration.
-    ``feature_major=True`` additionally stores replay transitions
-    feature-major (``per_init_fm``; VERDICT r4 #3), letting the kernel's
-    native trajectory flow into the insert with zero relayout.
+    identical learn phase).  ``feature_major=True`` additionally stores
+    replay transitions feature-major (``per_init_fm``; VERDICT r4 #3).
+    ``kernel_insert=True`` -- the third bench line's configuration -- goes
+    further still: the kernel computes finished n-step transitions and
+    DMA-writes them straight into the replay planes at the ring pointer
+    (no trajectory materialization, no XLA-side insert); replay capacity
+    is 204,800 = the nearest multiple of the kernel's per-tile region
+    above the 200,000 the other paths use (documented, RESULTS.md r5).
     """
     import jax.numpy as jnp
     import optax
     from jax import lax
 
     from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec
-    from rl6nimmt_tpu.buffers import per_init, per_init_fm
+    from rl6nimmt_tpu.buffers import per_init, per_init_fm, per_init_kd
     from rl6nimmt_tpu.nets import mlp_init
+    from rl6nimmt_tpu.ops.act_rollout_kernel import S_PAD, SCAL_ROWS, TILE
     from rl6nimmt_tpu.runtime.vector import dqn_replay_example, make_dqn_selfplay_step
 
     dqn_cfg = DQNConfig(
@@ -113,11 +118,17 @@ def make_trainable_cycle(cfg, num_games, chain, learn_iters=8, pallas_act=False,
     # these shapes (experiments/micro_cycle5.py) and its larger physical
     # priority array slows the 8 per-update stratified samples more than
     # the aligned write saves.
-    example = dqn_replay_example(cfg, compact=True)
-    buf = (per_init_fm if feature_major else per_init)(200_000, example)
+    if kernel_insert:
+        region = cfg.max_turns * cfg.num_players * TILE
+        capacity = -(-200_000 // region) * region  # 204,800
+        buf = per_init_kd(capacity, S_PAD, SCAL_ROWS)
+    else:
+        example = dqn_replay_example(cfg, compact=True)
+        buf = (per_init_fm if feature_major else per_init)(200_000, example)
     cycle = make_dqn_selfplay_step(
         cfg, dqn_cfg, optimizer, num_games, learn_iters=learn_iters,
-        pallas_act_rollout=pallas_act, feature_major=feature_major,
+        pallas_act_rollout=pallas_act and not kernel_insert,
+        feature_major=feature_major, kernel_insert=kernel_insert,
     )
 
     def multi(params, target, opt_state, buf, key, eps):
@@ -135,7 +146,7 @@ def make_trainable_cycle(cfg, num_games, chain, learn_iters=8, pallas_act=False,
 
 
 def _verify_chained_bit_identity(cfg, num_games, pallas_act=False,
-                                 feature_major=False):
+                                 feature_major=False, kernel_insert=False):
     """ONE chained-vs-sequential bit-identity protocol for every trainable
     line: two cycles fused into one dispatch must produce bit-identical
     losses and parameters to two sequential dispatches from the same state
@@ -147,6 +158,7 @@ def _verify_chained_bit_identity(cfg, num_games, pallas_act=False,
     chained, cycle, (params, target, opt_state, buf) = make_trainable_cycle(
         cfg, num_games=num_games, chain=2, learn_iters=8,
         pallas_act=pallas_act, feature_major=feature_major,
+        kernel_insert=kernel_insert,
     )
     key, eps = jax.random.key(3), jnp.asarray(0.1)
     (p2, t2, o2, b2, losses2) = chained(params, target, opt_state, buf, key, eps)
@@ -171,11 +183,33 @@ def verify_trainable_exactness(cfg):
     _verify_chained_bit_identity(cfg, num_games=256)
 
 
-def verify_trainable_exactness_fm(cfg):
-    """Line-3 guard: the exact fm cycle being timed (fused Pallas
-    act-rollout + feature-major replay) at the kernel's minimum tile."""
-    _verify_chained_bit_identity(cfg, num_games=1024, pallas_act=True,
-                                 feature_major=True)
+def verify_trainable_exactness_kd(cfg):
+    """Line-3 guard: the exact direct-insert cycle being timed (fused
+    Pallas act-rollout + in-kernel replay insert) at the kernel's minimum
+    tile."""
+    _verify_chained_bit_identity(cfg, num_games=1024, kernel_insert=True)
+
+
+def verify_insert_planes_exactness(cfg):
+    """In-bench guard for line 3's INSERT: the direct-insert kernel's
+    storage planes must exactly equal the fm harvest's values on shared
+    deals (states/actions/done bit-equal, rewards allclose) -- the shared
+    protocol of ``tests/test_act_rollout.py::test_kernel_insert_planes_
+    match_fm_harvest``.  Raises on mismatch."""
+    from rl6nimmt_tpu.agents.dqn import DQNConfig, q_network_spec
+    from rl6nimmt_tpu.nets import mlp_init
+    from rl6nimmt_tpu.ops.act_rollout_check import insert_planes_agreement
+    from rl6nimmt_tpu.ops.act_rollout_kernel import TILE
+
+    dqn_cfg = DQNConfig(double=True, dueling=True, noisy=True, per=True,
+                        n_steps=10, hidden_sizes=(64,), minibatch=64)
+    spec = q_network_spec(dqn_cfg, cfg.state_length, cfg.num_actions)
+    params = mlp_init(jax.random.key(1), spec)
+    region = cfg.max_turns * cfg.num_players * TILE
+    insert_planes_agreement(
+        cfg, dqn_cfg, spec, params, num_games=1024, capacity=3 * region,
+        seed=7, ptr=region, noise_key=jax.random.key(42),
+    )
 
 
 def verify_act_rollout_exactness(cfg):
@@ -210,11 +244,12 @@ def verify_act_rollout_exactness(cfg):
         )
 
 
-def bench_trainable(cfg, on_tpu, pallas_act=False, feature_major=False):
+def bench_trainable(cfg, on_tpu, pallas_act=False, feature_major=False,
+                    kernel_insert=False):
     """Trainable metric lines: flagship DQN training-cycle env-steps/s.
 
     ``pallas_act=True`` posts the third line: the same cycle with the fused
-    Pallas act-rollout and (``feature_major``) feature-major replay
+    Pallas act-rollout and (``kernel_insert``) the in-kernel replay insert
     (non-key-reproducible deals; labeled accordingly).
     """
     import numpy as np
@@ -223,7 +258,7 @@ def bench_trainable(cfg, on_tpu, pallas_act=False, feature_major=False):
     iters = 5 if on_tpu else 2
     fn, _, (params, target, opt_state, buf) = make_trainable_cycle(
         cfg, NUM_GAMES if on_tpu else 64, chain, pallas_act=pallas_act,
-        feature_major=feature_major,
+        feature_major=feature_major, kernel_insert=kernel_insert,
     )
     state = (params, target, opt_state, buf)
     out = fn(*state, jax.random.key(10), 0.1)  # warmup/compile
@@ -244,9 +279,11 @@ def bench_trainable(cfg, on_tpu, pallas_act=False, feature_major=False):
     games = NUM_GAMES if on_tpu else 64
     steps_per_sec = games * cfg.max_turns * chain / median
     suffix = ""
-    if pallas_act:
+    if pallas_act or kernel_insert:
         suffix = ", fused Pallas act-rollout"
-        if feature_major:
+        if kernel_insert:
+            suffix += " + in-kernel replay insert"
+        elif feature_major:
             suffix += " + feature-major replay"
     label = (
         "trainable env-steps/s @ {g} games (Noisy-D3QN-PER-10step selfplay "
@@ -319,17 +356,21 @@ def main():
     verify_trainable_exactness(cfg)
     bench_trainable(cfg, on_tpu)
 
-    # Third metric line (VERDICT r3 #1b + r4 #3): the same cycle with the
-    # fused Pallas act-rollout kernel AND feature-major replay storage.
-    # Requires the real chip (Mosaic kernel).  Guarded IN-BENCH (VERDICT r4
-    # #1) by (a) a kernel-vs-XLA action/score agreement check on identical
-    # deals and weights and (b) a chained-vs-sequential bit-identity check
-    # of the exact fm cycle being timed; the fuller gated suite is
-    # RL6_TEST_TPU=1 pytest tests/test_act_rollout.py.
+    # Third metric line (VERDICT r3 #1b + r4 #3, extended round 5): the
+    # same cycle with the fused Pallas act-rollout kernel AND the replay
+    # insert executed IN-KERNEL (finished n-step transitions DMA'd into
+    # the storage planes at the ring pointer).  Requires the real chip
+    # (Mosaic kernel).  Guarded IN-BENCH (VERDICT r4 #1) by (a) a
+    # kernel-vs-XLA action/score agreement check on identical deals and
+    # weights, (b) an insert-plane exactness check against the fm harvest
+    # on shared deals, and (c) a chained-vs-sequential bit-identity check
+    # of the exact direct-insert cycle being timed; the fuller gated suite
+    # is RL6_TEST_TPU=1 pytest tests/test_act_rollout.py.
     if on_tpu:
         verify_act_rollout_exactness(cfg)
-        verify_trainable_exactness_fm(cfg)
-        bench_trainable(cfg, on_tpu, pallas_act=True, feature_major=True)
+        verify_insert_planes_exactness(cfg)
+        verify_trainable_exactness_kd(cfg)
+        bench_trainable(cfg, on_tpu, pallas_act=True, kernel_insert=True)
 
 
 if __name__ == "__main__":

@@ -113,3 +113,69 @@ def greedy_replay_agreement(
     action_agree = float((xla_actions == actions).mean())
     score_agree = float((np.asarray(xla_scores) == rewards.sum(0)).mean())
     return action_agree, score_agree
+
+
+def insert_planes_agreement(cfg: EnvConfig, dqn_cfg: DQNConfig,
+                            spec: MLPSpec, params, num_games: int,
+                            capacity: int, seed: int, ptr: int,
+                            noise_key, gamma: float = 0.99) -> None:
+    """Verify the direct-insert kernel's storage planes against the fm
+    rollout kernel's trajectory on the SAME seed: states / next-states /
+    actions / done bit-equal under the explicit (tile, t, p, g) column
+    mapping, n-step rewards allclose (float reassociation only).  Raises
+    on any mismatch.  Shared by the TPU-gated suite and the in-bench
+    line-3 guard (one implementation, no drift)."""
+    from .act_rollout_kernel import (
+        S_PAD,
+        SCAL_ROWS,
+        TILE,
+        make_act_insert_kernel,
+        make_act_rollout_kernel,
+    )
+
+    G, T, P, S = num_games, cfg.max_turns, cfg.num_players, cfg.state_length
+    eff = turn_effective_weights(spec, params, noise_key, T)
+    adv = 1 if dqn_cfg.dueling else 0
+    args = (eff["trunk"][0]["w"], eff["trunk"][0]["b"],
+            eff["heads"][adv]["w"], eff["heads"][adv]["b"])
+
+    ins = make_act_insert_kernel(cfg, G, spec.hidden_sizes[0], capacity,
+                                 gamma, dqn_cfg.n_steps)
+    st, nx, sc, rew = jax.tree.map(np.asarray, ins(
+        seed, ptr, *args,
+        jnp.zeros((S_PAD, capacity), jnp.int8),
+        jnp.zeros((S_PAD, capacity), jnp.int8),
+        jnp.zeros((SCAL_ROWS, capacity), jnp.float32),
+    ))
+    play = make_act_rollout_kernel(cfg, G, spec.hidden_sizes[0],
+                                   feature_major=True)
+    obs_fm, act_fm, rew_fm = jax.tree.map(np.asarray, play(seed, *args))
+    np.testing.assert_array_equal(rew.reshape(T * P, G), rew_fm)
+
+    n_steps = dqn_cfg.n_steps
+    obs_r = obs_fm.reshape(S, T + 1, P, G)
+    lag = np.zeros((T, P, G), np.float32)
+    lag[1:] = rew_fm.reshape(T, P, G).astype(np.float32)[:-1]
+    disc = gamma ** np.arange(n_steps)
+    pad = np.concatenate([lag, np.zeros((n_steps - 1, P, G), np.float32)], 0)
+    R = sum(disc[i] * pad[i : i + T] for i in range(n_steps))
+    acts = act_fm.reshape(T, P, G)
+    tail_start = (T - n_steps + 1) if n_steps > 1 else (T - 1)
+    cap_blk = capacity // TILE
+    for tile in range(G // TILE):
+        base = (ptr // TILE + tile * T * P) % cap_blk
+        gs = slice(tile * TILE, (tile + 1) * TILE)
+        for t in range(T):
+            for p in range(P):
+                c0 = (base + t * P + p) * TILE
+                cols = slice(c0, c0 + TILE)
+                np.testing.assert_array_equal(st[:S, cols], obs_r[:, t, p, gs])
+                np.testing.assert_array_equal(nx[:S, cols], obs_r[:, T, p, gs])
+                np.testing.assert_array_equal(sc[1, cols], acts[t, p, gs])
+                np.testing.assert_array_equal(
+                    sc[2, cols],
+                    np.full(TILE, 1.0 if t >= tail_start else 0.0, np.float32),
+                )
+                np.testing.assert_allclose(sc[0, cols], R[t, p, gs], atol=1e-3)
+    # storage invariants: pad rows stay zero
+    assert np.all(st[S:] == 0) and np.all(nx[S:] == 0) and np.all(sc[3:] == 0)

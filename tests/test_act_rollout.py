@@ -215,3 +215,74 @@ def test_feature_major_selfplay_cycle_runs_and_learns():
         for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params))
     )
     assert -15.0 < float(metrics["mean_score"]) < -5.0
+
+
+@requires_tpu
+def test_kernel_insert_planes_match_fm_harvest():
+    """The direct-insert kernel's storage planes EXACTLY equal the values
+    the fm harvest (to_transitions_fm math) produces from the fm rollout
+    kernel on the same seed -- states/actions/done bit-equal under the
+    explicit (tile, t, p, g) column mapping, n-step rewards allclose
+    (float reassociation of the discounted sums)."""
+    from rl6nimmt_tpu.ops.act_rollout_check import insert_planes_agreement
+    from rl6nimmt_tpu.ops.act_rollout_kernel import TILE
+
+    params = mlp_init(jax.random.key(1), SPEC)
+    T, P = CFG.max_turns, CFG.num_players
+    insert_planes_agreement(
+        CFG, DQN, SPEC, params, num_games=2048, capacity=T * P * TILE * 3,
+        seed=7, ptr=T * P * TILE,  # nonzero ptr: modular mapping exercised
+        noise_key=jax.random.key(42),
+    )
+
+
+@requires_tpu
+def test_kernel_insert_cycle_runs_and_learns():
+    """Full DQN cycle on the direct-insert path: finite loss, params move,
+    ring bookkeeping advances, buffer wraps correctly over two cycles."""
+    import optax
+
+    from rl6nimmt_tpu.buffers import per_init_kd
+    from rl6nimmt_tpu.ops.act_rollout_kernel import S_PAD, SCAL_ROWS, TILE
+    from rl6nimmt_tpu.runtime.vector import make_dqn_selfplay_step
+
+    G = 1024
+    n = CFG.max_turns * CFG.num_players * G
+    CAP = CFG.max_turns * CFG.num_players * TILE * 3  # wraps on cycle 3
+    params = mlp_init(jax.random.key(1), SPEC)
+    target = jax.tree.map(jnp.copy, params)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    buf = per_init_kd(CAP, S_PAD, SCAL_ROWS)
+    cycle = make_dqn_selfplay_step(CFG, DQN, optimizer, G, learn_iters=8,
+                                   kernel_insert=True)
+    c = (params, target, opt_state, buf)
+    for i in range(4):
+        *c, metrics = cycle(*c, jax.random.key(5 + i), 0.1)
+        assert np.isfinite(float(metrics["loss"])), i
+        assert -15.0 < float(metrics["mean_score"]) < -5.0, i
+    b = c[3]
+    assert int(b.size) == CAP  # 4n > CAP: saturated
+    assert int(b.ptr) == (4 * n) % CAP
+    assert any(
+        not np.array_equal(np.asarray(a_), np.asarray(b_))
+        for a_, b_ in zip(jax.tree.leaves(c[0]), jax.tree.leaves(params))
+    )
+
+
+def test_kernel_insert_validation():
+    """Config validation for the direct-insert path (every platform)."""
+    import optax
+
+    from rl6nimmt_tpu.ops.act_rollout_kernel import make_act_insert_kernel
+    from rl6nimmt_tpu.runtime.vector import make_dqn_selfplay_step
+
+    short_n = dataclasses.replace(DQN, n_steps=3)
+    with pytest.raises(ValueError, match="n_steps"):
+        make_dqn_selfplay_step(CFG, short_n, optax.adam(1e-3), 1024,
+                               kernel_insert=True)
+    with pytest.raises(ValueError, match="subsumes"):
+        make_dqn_selfplay_step(CFG, DQN, optax.adam(1e-3), 1024,
+                               kernel_insert=True, pallas_act_rollout=True)
+    with pytest.raises(ValueError, match="capacity"):
+        make_act_insert_kernel(CFG, 1024, 64, 200_000, 0.99, 10)
