@@ -15,8 +15,11 @@ Prints THREE JSON lines {"metric", "value", "unit", "vs_baseline"} on TPU
    a chained-vs-sequential bit-identity check run on this chip before
    timing.
 3. the same cycle with the fused Pallas act-rollout kernel (whole greedy
-   games in VMEM; hardware-PRNG deals, key-reproducible net noise) --
-   the non-bit-continuous fast path, labeled as such.
+   games in VMEM; hardware-PRNG deals, key-reproducible net noise) AND
+   the replay insert executed in-kernel (finished n-step transitions
+   DMA'd into the storage planes at the ring pointer; capacity 204,800 =
+   the nearest per-tile-region multiple above the other paths' 200,000)
+   -- the non-bit-continuous fast path, labeled as such.
 
 ``vs_baseline`` is measured throughput over the BASELINE.json target of
 10M env-steps/s per chip for both lines.

@@ -57,13 +57,23 @@ def train(arm: str, seed: int, cycles: int):
     target = jax.tree.map(jnp.copy, params)
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
-    pallas = arm != "xla"
-    fm = arm == "pallas_fm"
-    buf = (per_init_fm if fm else per_init)(CAP, dqn_replay_example(CFG, compact=True))
-    cycle = make_dqn_selfplay_step(
-        CFG, DQN, optimizer, G, learn_iters=8,
-        pallas_act_rollout=pallas, feature_major=fm,
-    )
+    if arm == "kernel_insert":
+        from rl6nimmt_tpu.buffers import per_init_kd
+        from rl6nimmt_tpu.ops.act_rollout_kernel import S_PAD, SCAL_ROWS, TILE
+
+        region = CFG.max_turns * CFG.num_players * TILE
+        buf = per_init_kd(-(-CAP // region) * region, S_PAD, SCAL_ROWS)
+        cycle = make_dqn_selfplay_step(
+            CFG, DQN, optimizer, G, learn_iters=8, kernel_insert=True,
+        )
+    else:
+        pallas = arm != "xla"
+        fm = arm == "pallas_fm"
+        buf = (per_init_fm if fm else per_init)(CAP, dqn_replay_example(CFG, compact=True))
+        cycle = make_dqn_selfplay_step(
+            CFG, DQN, optimizer, G, learn_iters=8,
+            pallas_act_rollout=pallas, feature_major=fm,
+        )
 
     @jax.jit
     def run(params, target, opt_state, buf, key):
@@ -110,13 +120,14 @@ def ci95(xs):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=6)
+    ap.add_argument("--arms", default="xla,pallas_rm,pallas_fm")
     ap.add_argument("--cycles", type=int, default=150)
     ap.add_argument("--eval-games", type=int, default=8192)
     ap.add_argument("--eval-keys", type=int, default=3)
     ap.add_argument("--out", default="experiments/results/fm_strength_ab.json")
     args = ap.parse_args()
 
-    arms = ("xla", "pallas_rm", "pallas_fm")
+    arms = tuple(args.arms.split(","))
     results = {a: {"score": [], "win": []} for a in arms}
     for seed in range(args.seeds):
         for arm in arms:
@@ -136,7 +147,7 @@ def main():
                   "win_mean": round(wm, 4), "win_ci95": round(wc, 4),
                   "per_seed_score": results[a]["score"],
                   "per_seed_win": results[a]["win"]}
-    for other in ("pallas_rm", "pallas_fm"):
+    for other in [a for a in arms if a != "xla"]:
         deltas = [a - b for a, b in zip(results[other]["score"], results["xla"]["score"])]
         dm, dc = ci95(deltas)
         out[f"{other}_minus_xla_score"] = {
