@@ -63,7 +63,16 @@ def make_single_playout(cfg: EnvConfig, policy: str, spec: MLPSpec | None):
     """
 
     def single(params, state0: EnvState, first_action, n_turns, key, use_net=None):
-        def turn(carry, t):
+        # Traced-bound fori_loop instead of a fixed hand_size scan with tail
+        # masking: a playout at decision depth t only has n = hand_size - t
+        # turns left, and ``n_turns`` is SHARED across the playout/seat vmaps
+        # (in_axes=None), so the while loop genuinely stops after n
+        # iterations — ~1.8x less sequential env-step depth averaged over a
+        # game's ten decision depths.  Bit-exact vs the masked scan: live
+        # iterations (t < n_turns) split the identical subkey chain and
+        # perform the identical update; the dropped dead iterations only
+        # consumed keys whose results the mask discarded.
+        def turn(t, carry):
             state, key, ret = carry
             key, sub = jax.random.split(key)
             obs, masks = observe(cfg, state)
@@ -81,16 +90,15 @@ def make_single_playout(cfg: EnvConfig, policy: str, spec: MLPSpec | None):
             actions = actions.at[0].set(
                 jnp.where(t == 0, first_action, actions[0]).astype(jnp.int32)
             )
-            new_state, rewards = step(cfg, state, actions)
-            live = t < n_turns
-            state = jax.tree.map(
-                lambda new, old: jnp.where(live, new, old), new_state, state
-            )
-            ret = ret + jnp.where(live, rewards[0], 0).astype(jnp.float32)
-            return (state, key, ret), None
+            state, rewards = step(cfg, state, actions)
+            ret = ret + rewards[0].astype(jnp.float32)
+            return (state, key, ret)
 
-        (state, _, ret), _ = lax.scan(
-            turn, (state0, key, jnp.zeros((), jnp.float32)), jnp.arange(cfg.hand_size)
+        _, _, ret = lax.fori_loop(
+            0,
+            jnp.asarray(n_turns, jnp.int32),
+            turn,
+            (state0, key, jnp.zeros((), jnp.float32)),
         )
         return ret
 
