@@ -65,15 +65,25 @@ def main(argv=None):
     epses = jnp.zeros((G, P), jnp.float32)
     key = jax.random.key(42)
 
-    for name, kind in [
-        ("random", KIND_RANDOM),
-        ("mcs", KIND_UNIFORM),
-        ("puct_uniform", KIND_PUCT_UNIFORM),
-        ("puct", KIND_PUCT),
+    mc_ceiling = 1 << (args.mc_max - 1).bit_length()
+    fn_free = make_device_block_fn(
+        cfg, spec, G, mc_ceiling, mc_ceiling, (), True
+    )
+    fn_freeu = make_device_block_fn(
+        cfg, spec, G, mc_ceiling, mc_ceiling, (), True, True
+    )
+
+    for name, kind, f in [
+        ("random", KIND_RANDOM, fn),
+        ("mcs", KIND_UNIFORM, fn),
+        ("puct_uniform", KIND_PUCT_UNIFORM, fn),
+        ("puct", KIND_PUCT, fn),
+        ("mcs/puct_free", KIND_UNIFORM, fn_free),
+        ("mcs/pf+uni", KIND_UNIFORM, fn_freeu),
     ]:
         kinds = jnp.full((G, P), kind, jnp.int32)
         run = lambda: jax.block_until_ready(
-            fn(params, (), kinds, mc_maxes, mc_pers, c_pucts, epses, key)
+            f(params, (), kinds, mc_maxes, mc_pers, c_pucts, epses, key)
         )
         run()  # warm (compile once; kind is traced so one program serves all)
         ts = []

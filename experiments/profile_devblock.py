@@ -36,6 +36,7 @@ from rl6nimmt_tpu.agents import (
 from rl6nimmt_tpu.runtime.device_tournament import (
     DeviceBlockSession,
     LearnerSlot,
+    lineup_fastclass,
     lineup_signature,
     seat_slot,
 )
@@ -88,17 +89,18 @@ def main(argv=None):
         groups = {}
         for j, (names, ags) in enumerate(picks):
             sig = lineup_signature(ags)
-            groups.setdefault(sig[:2], []).append((j, ags))
+            key = sig[:2] + (lineup_fastclass(ags),)
+            groups.setdefault(key, []).append((j, ags))
         t0 = time.perf_counter()
         label = "cold" if b == 0 else "warm"
-        for (cfg, _), group in groups.items():
+        for (cfg, _, fast), group in groups.items():
             sess = DeviceBlockSession(
                 [ags for _, ags in group], bucket=bucket, slots=slots
             )
             sess.play()
             t = sess.timings
             print(
-                f"[{label}] P={cfg.num_players} games={len(group)} "
+                f"[{label}] P={cfg.num_players} fast={fast} games={len(group)} "
                 f"assemble={t['assemble_s']:.2f}s device={t['device_s']:.2f}s "
                 f"replay={t['replay_s']:.2f}s"
             )

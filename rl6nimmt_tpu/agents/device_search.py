@@ -282,7 +282,14 @@ KIND_PUCT_UNIFORM = 4
 
 
 @functools.lru_cache(maxsize=None)
-def _make_decide_unified(cfg: EnvConfig, spec: MLPSpec, max_n_mc: int, batch: int):
+def _make_decide_unified(
+    cfg: EnvConfig,
+    spec: MLPSpec,
+    max_n_mc: int,
+    batch: int,
+    puct_free: bool = False,
+    uniform_playouts: bool = False,
+):
     """Kind-TRACED decision program: one compile covers every agent family.
 
     Same decision semantics as :func:`_make_decide`, but the root kind
@@ -304,11 +311,43 @@ def _make_decide_unified(cfg: EnvConfig, spec: MLPSpec, max_n_mc: int, batch: in
     (tests/test_device_tournament.py).  Random seats pass ``n_mc = 0`` (the
     round loop never runs) and sample a uniform legal card from a post-loop
     key.
+
+    ``puct_free=True`` builds the variant for lineups WITHOUT PUCT-family
+    seats (kinds 0-2 only): the sequential-rounds structure exists solely
+    because PUCT's root selection reads the accumulated outcome statistics
+    between rounds (mcts.py:276-302), while uniform/policy roots draw their
+    first moves iid — so a puct_free group runs ONE parallel round of
+    ``batch >= n_mc`` playouts (the caller passes ``batch = mc_ceiling``),
+    collapsing the decision's sequential env-step depth ~``n_rounds``-fold
+    with an outcome distribution identical to the multi-round schedule
+    (same iid determinizations + first-move draws, different key layout —
+    within PARITY.md's documented device-path key-stream deviation).  The
+    PUCT bookkeeping (running min/max/median normalization, sequential
+    pending-count selection) is statically elided; feeding a PUCT seat to a
+    puct_free program would silently sample its root like PolicyMCS, so the
+    block driver gates the variant on the group's kinds
+    (:meth:`..runtime.device_tournament.DeviceBlockSession.dispatch`).
+
+    ``uniform_playouts=True`` is the orthogonal specialization for lineups
+    without NET-playout seats (no ``KIND_POLICY``, no ``KIND_PUCT``): the
+    playout body is built with the static uniform move rule, so the
+    per-lane policy forward — the dominant FLOPs once playouts run wide —
+    and the playout observations feeding it are dead code the compiler
+    drops entirely.  Net ROOT priors (``KIND_PUCT_UNIFORM``) still work:
+    the root forward is per-seat, not per-lane.  Same driver-side gating
+    contract as ``puct_free``.
     """
     P, C, H = cfg.num_players, cfg.num_cards, cfg.hand_size
     K = min(batch, max_n_mc)
     max_rounds = math.ceil(max_n_mc / K)
-    single = make_single_playout(cfg, "mixed", spec)
+    if uniform_playouts:
+        _single_u = make_single_playout(cfg, "uniform", None)
+        # Same signature as the mixed body; use_net is statically dead.
+        single = lambda params, s0, first, n, k, use_net: _single_u(
+            None, s0, first, n, k
+        )
+    else:
+        single = make_single_playout(cfg, "mixed", spec)
 
     def decide(params, kind, board, row_len, my_hand, n, n_mc, c_puct, avail, obs, key):
         my_hand = my_hand.astype(jnp.int32)
@@ -337,19 +376,22 @@ def _make_decide_unified(cfg: EnvConfig, spec: MLPSpec, max_n_mc: int, batch: in
         def round_body(r, carry):
             rets_buf, act_sum, act_cnt, key = carry
             key, k_first, k_deal, k_play = jax.random.split(key, 4)
-            completed = jnp.minimum(r * K, n_mc)
             active = (r * K + jnp.arange(K)) < n_mc
-            q = _normalized_q(act_sum, act_cnt, rets_buf, completed)
             # Same k_first feeds both root samplers; only one is kept.
             samp = jax.random.categorical(
                 k_first,
                 jnp.broadcast_to(jnp.where(kind == KIND_POLICY, logp, logp_uni), (K, H)),
                 axis=-1,
             ).astype(jnp.int32)
-            pucts = puct_select(q, probs, act_cnt, valid, active, c_puct)
-            firsts = jnp.where(
-                (kind == KIND_PUCT) | (kind == KIND_PUCT_UNIFORM), pucts, samp
-            )
+            if puct_free:
+                firsts = samp
+            else:
+                completed = jnp.minimum(r * K, n_mc)
+                q = _normalized_q(act_sum, act_cnt, rets_buf, completed)
+                pucts = puct_select(q, probs, act_cnt, valid, active, c_puct)
+                firsts = jnp.where(
+                    (kind == KIND_PUCT) | (kind == KIND_PUCT_UNIFORM), pucts, samp
+                )
 
             deal_keys = jax.random.split(k_deal, K)
             opp = jax.vmap(lambda k: deal_opponents(avail, k, P - 1, n, H))(deal_keys)

@@ -195,6 +195,8 @@ def _make_decide_unified_ext(
     max_n_mc: int,
     batch: int,
     slots: Tuple[LearnerSlot, ...],
+    puct_free: bool = False,
+    uniform_playouts: bool = False,
 ):
     """Kind-traced decision covering search kinds 0-3 AND learner slots.
 
@@ -204,7 +206,7 @@ def _make_decide_unified_ext(
     the learner families' single-forward decisions.  Returns ``(action,
     log_prob, pick, log_probs_vec)``.
     """
-    base = _make_decide_unified(cfg, spec, max_n_mc, batch)
+    base = _make_decide_unified(cfg, spec, max_n_mc, batch, puct_free, uniform_playouts)
     learner = _make_learner_decide(cfg, slots) if slots else None
     H = cfg.hand_size
 
@@ -245,6 +247,8 @@ def make_device_block_fn(
     mc_max: int,
     batch: int = 8,
     slots: Tuple[LearnerSlot, ...] = (),
+    puct_free: bool = False,
+    uniform_playouts: bool = False,
 ):
     """Compile G heterogeneous games + trajectory capture into one program.
 
@@ -273,7 +277,9 @@ def make_device_block_fn(
     """
     P, C, H, G = cfg.num_players, cfg.num_cards, cfg.hand_size, num_games
     fact = factorial_table(H)
-    decide = _make_decide_unified_ext(cfg, spec, mc_max, batch, slots)
+    decide = _make_decide_unified_ext(
+        cfg, spec, mc_max, batch, slots, puct_free, uniform_playouts
+    )
 
     def board_seen(state):
         cards = state.board.reshape(G, -1)
@@ -440,6 +446,26 @@ def device_lineup_eligible(agents) -> bool:
     return lineup_signature(agents) is not None
 
 
+def lineup_fastclass(agents) -> tuple:
+    """(has_puct, has_net_playout) — the static fast-path class of a lineup.
+
+    PUCT-free lineups compile the single-parallel-round program and
+    net-playout-free lineups additionally drop the per-lane policy forward
+    (:func:`..agents.device_search._make_decide_unified` ``puct_free`` /
+    ``uniform_playouts``).  The tournament groups games by this class on top
+    of (env-config, net-spec) so a block's PUCT-free games are not dragged
+    through the sequential-rounds program by sharing a group with an
+    Alpha0.5 seat."""
+    has_puct = has_net = False
+    for a in agents:
+        k = seat_kind(a)
+        if k in (KIND_PUCT, KIND_PUCT_UNIFORM):
+            has_puct = True
+        if k in (KIND_POLICY, KIND_PUCT):
+            has_net = True
+    return has_puct, has_net
+
+
 # ------------------------------------------------------------------ session
 
 
@@ -588,7 +614,25 @@ class DeviceBlockSession:
 
         mc_ceiling = int(max(self.batch, mc_maxes.max(), 1))
         mc_ceiling = 1 << (mc_ceiling - 1).bit_length()  # pow2: bounded compiles
-        fn = make_device_block_fn(self.cfg, self.spec, B, mc_ceiling, self.batch, slots)
+        # No PUCT-family seat in the block: sequential playout rounds exist
+        # only for PUCT's between-round root statistics, so compile the
+        # puct_free variant -- ONE round of mc_ceiling parallel playouts per
+        # decision (identical outcome distribution for iid uniform/policy
+        # roots, ~mc/batch-fold less sequential depth per decision).
+        puct_free = not bool(
+            np.any((kinds == KIND_PUCT) | (kinds == KIND_PUCT_UNIFORM))
+        )
+        # ... and no net-PLAYOUT seat (PolicyMCS / full PUCT): the playout
+        # body compiles with the static uniform move rule, dropping the
+        # per-lane policy forward (the dominant FLOPs of wide playouts).
+        uniform_playouts = not bool(
+            np.any((kinds == KIND_POLICY) | (kinds == KIND_PUCT))
+        )
+        batch = mc_ceiling if puct_free else self.batch
+        fn = make_device_block_fn(
+            self.cfg, self.spec, B, mc_ceiling, batch, slots, puct_free,
+            uniform_playouts,
+        )
         key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec

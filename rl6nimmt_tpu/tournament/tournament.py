@@ -305,6 +305,7 @@ class Tournament:
         from ..runtime.device_tournament import (
             DeviceBlockSession,
             LearnerSlot,
+            lineup_fastclass,
             lineup_signature,
             seat_slot,
         )
@@ -328,7 +329,11 @@ class Tournament:
             # cannot share one compiled program.
             sig = lineup_signature(agents)
             if sig is not None:
-                device_groups.setdefault(sig[:2], []).append((j, agents))
+                # The fast-path class (PUCT-free / net-playout-free) is part
+                # of the key: one Alpha0.5 game must not drag a group of
+                # MCS-only games through the sequential-rounds program.
+                key = sig[:2] + (lineup_fastclass(agents),)
+                device_groups.setdefault(key, []).append((j, agents))
             else:
                 host.append((j, agents))
 
