@@ -670,6 +670,13 @@ class DeviceBlockSession:
         families, t0, t1 = blk["families"], blk["t0"], blk["t1"]
         G, P, H = len(self.lineups), self.cfg.num_players, self.cfg.hand_size
 
+        # Start every device->host copy before the first blocking fetch:
+        # the per-array np.asarray calls below would otherwise serialize one
+        # transfer round trip per leaf (8 leaves x tunnel RTT).
+        for leaf in jax.tree.leaves((scores, traj, final_obs)):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+
         scores = np.asarray(scores)[:G]
         obs = np.asarray(traj["obs"], np.float32)[:, :G]
         hands = np.asarray(traj["hands"], np.int32)[:, :G]
