@@ -477,7 +477,7 @@ class DeviceBlockSession:
     def __init__(
         self,
         lineups: Sequence[Sequence],
-        batch: int = 8,
+        batch: int = 32,
         bucket: Optional[int] = None,
         mesh=None,
         slots: Optional[Tuple[LearnerSlot, ...]] = None,
@@ -486,7 +486,14 @@ class DeviceBlockSession:
         assert lineups, "need at least one game"
         P = len(lineups[0])
         assert all(len(l) == P for l in lineups), "uniform player count required"
-        self.lineups = [list(agents) for agents in lineups]
+        # PUCT round-batch K: ceil(n_mc / K) sequential playout rounds per
+        # decision with pending-count root selection within a round.  The
+        # host agents' batch_playouts default is 8; the device driver default
+        # is 32 because the round count is the dominant sequential depth of
+        # PUCT-containing groups and K=32 is measured strength-neutral vs
+        # K=8 (paired delta +0.015 +/- 0.201 mean-score points, n=8192,
+        # experiments/puct_batch_ab.py) -- a documented device-path deviation
+        # on top of the batched-rounds deviation itself (PARITY.md).
         self.batch = batch
         # Game-axis compile width: defaults to the pow2 ceiling of the group
         # size; callers that split one block into per-player-count groups pass
