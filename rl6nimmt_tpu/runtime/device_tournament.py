@@ -486,6 +486,7 @@ class DeviceBlockSession:
         assert lineups, "need at least one game"
         P = len(lineups[0])
         assert all(len(l) == P for l in lineups), "uniform player count required"
+        self.lineups = [list(agents) for agents in lineups]
         # PUCT round-batch K: ceil(n_mc / K) sequential playout rounds per
         # decision with pending-count root selection within a round.  The
         # host agents' batch_playouts default is 8; the device driver default
