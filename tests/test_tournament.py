@@ -191,3 +191,20 @@ def test_evolve_metric_orderings_match_reference():
         reverse=True,
     )
     assert ranked == ["m1", "m2", "m0"]  # descending mean score
+
+
+def test_device_block_session_constructs_without_device():
+    """Fast-lane constructor smoke: DeviceBlockSession.__init__ is pure host
+    bookkeeping (signatures, fast-path class, buckets) and must stay
+    importable/constructible without compiling any device program — a
+    dropped attribute here once broke only the heavy lane and the live
+    protocol (round 5)."""
+    from rl6nimmt_tpu.agents.random_agent import DrunkHamster
+    from rl6nimmt_tpu.runtime.device_tournament import DeviceBlockSession
+
+    lineups = [[DrunkHamster(seed=0), DrunkHamster(seed=1)] for _ in range(3)]
+    sess = DeviceBlockSession(lineups, batch=8)
+    assert len(sess.lineups) == 3
+    assert sess.batch == 8
+    assert sess.cfg.num_players == 2
+    assert sess.spec is not None
