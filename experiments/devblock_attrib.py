@@ -72,6 +72,7 @@ def main(argv=None):
     fn_freeu = make_device_block_fn(
         cfg, spec, G, mc_ceiling, mc_ceiling, (), True, True
     )
+    fn32 = make_device_block_fn(cfg, spec, G, mc_ceiling, 32, ())
 
     for name, kind, f in [
         ("random", KIND_RANDOM, fn),
@@ -80,6 +81,7 @@ def main(argv=None):
         ("puct", KIND_PUCT, fn),
         ("mcs/puct_free", KIND_UNIFORM, fn_free),
         ("mcs/pf+uni", KIND_UNIFORM, fn_freeu),
+        ("puct/K32", KIND_PUCT, fn32),
     ]:
         kinds = jnp.full((G, P), kind, jnp.int32)
         run = lambda: jax.block_until_ready(
